@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Headline benchmark: autoregressive generation samples/sec/chip with the
+full shipped WaveNet (30 layers, wavenet_parameters.json scale).
+
+The reference's structural cost is one host round trip per audio sample
+(generate.py:108-113).  ``vs_baseline`` therefore compares the on-device
+lax.scan generator against a measured same-hardware reimplementation of
+that loop (one device dispatch + host sync per sample) — the closest
+measurable stand-in for the TF1 sess.run-per-sample baseline (BASELINE.md:
+the reference publishes no numbers; TF1 cannot run in this image).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vqvae_wavenet_tpu.config import WavenetConfig
+    from vqvae_wavenet_tpu.models.wavenet import init_wavenet_params
+    from vqvae_wavenet_tpu.generation.fast import (
+        generate, gen_step, init_gen_state)
+    from vqvae_wavenet_tpu.ops.mu_law import mu_law_decode
+
+    cfg = WavenetConfig()          # shipped 30-layer config
+    batch = 1
+    length = 4096                  # bench clip (multiple of T_cond)
+    lc_channels = 128              # latent 64 + speaker 64
+    t_cond = length // 64
+
+    key = jax.random.PRNGKey(0)
+    params = init_wavenet_params(key, cfg, lc_channels=lc_channels)
+    lc = jax.random.normal(jax.random.PRNGKey(1), (batch, t_cond, lc_channels))
+
+    # ---- fast path: whole clip as one on-device scan
+    wav = generate(params, cfg, lc, length=length, key=key)  # compile
+    wav.block_until_ready()
+    t0 = time.perf_counter()
+    wav = generate(params, cfg, lc, length=length, key=jax.random.PRNGKey(2))
+    wav.block_until_ready()
+    fast_time = time.perf_counter() - t0
+    fast_sps = length / fast_time
+
+    # ---- baseline proxy: one device dispatch + host sync per sample
+    step_jit = jax.jit(lambda st, x, l: gen_step(params, cfg, st, x, l))
+    state = init_gen_state(cfg, batch)
+    x_t = jnp.zeros((batch, 1))
+    lc0 = lc[:, 0]
+    logits, state = step_jit(state, x_t, lc0)  # compile
+    logits.block_until_ready()
+    n_base = 256
+    state = init_gen_state(cfg, batch)
+    x_t = jnp.zeros((batch, 1))
+    t0 = time.perf_counter()
+    for i in range(n_base):
+        logits, state = step_jit(state, x_t, lc[:, i // 64])
+        bins = np.asarray(jnp.argmax(logits, -1))          # host round trip
+        x_t = jnp.asarray(
+            np.sign(2 * bins / 255.0 - 1)[:, None], jnp.float32) * 0  # feed 0s
+        x_t = jnp.asarray(bins[:, None] / 255.0 * 2 - 1, jnp.float32)
+    base_time = time.perf_counter() - t0
+    base_sps = n_base / base_time
+
+    print(json.dumps({
+        "metric": "gen_samples_per_sec_per_chip",
+        "value": round(fast_sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(fast_sps / base_sps, 2),
+        "baseline_per_sample_dispatch_sps": round(base_sps, 2),
+        "clip_seconds_equiv": round(fast_sps / 16000.0, 3),
+        "batch": batch,
+        "length": length,
+        "backend": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

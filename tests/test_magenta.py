@@ -1,0 +1,71 @@
+"""Magenta/nsynth variant: config preset, encoder downsampling, forward
+loss with the reg term, gate-order difference, optimizer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvae_wavenet_tpu.models import magenta as mg
+from vqvae_wavenet_tpu.models.wavenet import init_wavenet_params, wavenet_forward
+
+
+def test_config_preset():
+    cfg = mg.magenta_wavenet_config()
+    assert cfg.num_layers == 50
+    assert tuple(cfg.dilation_rates[:11]) == (1, 2, 4, 8, 16, 32, 64, 128,
+                                              256, 512, 1)
+    assert cfg.kernel_size == 2
+    assert cfg.skip_filters == 512
+
+
+@pytest.mark.slow
+def test_magenta_encode_shapes(key):
+    params = mg.init_magenta_params(key, num_speakers=4)
+    x = jax.random.uniform(key, (1, 256, 1), minval=-0.5, maxval=0.5)
+    z = mg.magenta_encode(params["encoder"], x)
+    assert z.shape == (1, 4, 64)  # 2^6 = 64x downsample
+
+
+def test_gate_order_differs(key):
+    """sigmoid_first and tanh_first must genuinely differ."""
+    from vqvae_wavenet_tpu.config import WavenetConfig
+    cfg = WavenetConfig(quantization_channels=32, num_cycles=1,
+                        num_cycle_layers=2, dilation_rates=[1, 2],
+                        kernel_size=2, dilation_filters=8, skip_filters=8,
+                        residual_filters=8, preprocess_kernel_size=2,
+                        preprocess_filters=8)
+    params = init_wavenet_params(key, cfg, lc_channels=None)
+    x = jax.random.uniform(key, (1, 32, 1), minval=-0.5, maxval=0.5)
+    a, _ = wavenet_forward(params, cfg, x, gate_order="tanh_first")
+    b, _ = wavenet_forward(params, cfg, x, gate_order="sigmoid_first")
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_regularization_loss(key):
+    params = {"embedding": jnp.ones((4, 2)), "w": jnp.ones((3,))}
+    reg = float(mg.regularization_loss(params))
+    # embedding: 1e-6*10*8 + w: 1e-6*3
+    assert reg == pytest.approx(8e-5 + 3e-6, rel=1e-4)
+
+
+@pytest.mark.slow
+def test_magenta_forward_loss(key):
+    params = mg.init_magenta_params(key, num_speakers=4)
+    x = jax.random.uniform(key, (1, 256, 1), minval=-0.5, maxval=0.5)
+    gc = jax.nn.one_hot(jnp.zeros((1, 1), jnp.int32), 4)
+    loss, aux = mg.magenta_forward(params, x, gc)
+    assert np.isfinite(float(loss))
+    assert float(aux["reg_loss"]) > 0
+    assert abs(float(loss) - float(aux["reconstruction_loss"])
+               - float(aux["vq_loss"]) - float(aux["commitment_loss"])
+               - float(aux["reg_loss"])) < 1e-5
+    # magenta conditions the decoder on e_k (config.py:278)
+    assert aux["encoding"].shape == (1, 4, 64)
+
+
+def test_magenta_optimizer():
+    opt = mg.make_magenta_optimizer()
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones(3)}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()

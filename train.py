@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Training CLI — flag-compatible with the reference train.py:12-37.
+
+  python3 train.py -dataset VCTK -length 6656 -batch 8 -step 100000 \
+      -save saved_model/weights [-restore saved_model/weights-110640] \
+      [-interval 200] [-params model_parameters.json]
+
+TPU-native: the whole step (fwd+bwd+Adam+EMA) is one jitted program over a
+jax.sharding.Mesh with the batch sharded on the 'data' axis; the host side
+only pumps prefetched numpy batches and writes metrics/checkpoints.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-dataset", default="VCTK", type=str,
+                        help="VCTK or LibriSpeech or Aishell", metavar="DATASET")
+    parser.add_argument("-length", default=6656, type=int, dest="max_len",
+                        metavar="int",
+                        help="number of samples one audio will contain")
+    parser.add_argument("-step", default=1000000, type=int, dest="num_steps",
+                        metavar="int", help="number of steps to train")
+    parser.add_argument("-batch", default=8, type=int, dest="batch_size",
+                        metavar="int", help="batch size")
+    parser.add_argument("-interval", default=200, type=int, dest="interval",
+                        metavar="int", help="save log every interval step")
+    parser.add_argument("-restore", dest="restore_path", metavar="string",
+                        help="path to restore weights")
+    parser.add_argument("-save", default="saved_model/weights",
+                        dest="save_path", metavar="string",
+                        help="path to save weights")
+    parser.add_argument("-params", default="model_parameters.json",
+                        dest="parameter_path", metavar="str",
+                        help="path to parameters file")
+    parser.add_argument("-data", default="data/", dest="data_path",
+                        metavar="str", help="dataset root directory")
+    parser.add_argument("-ckpt_interval", default=2000, type=int,
+                        help="steps between checkpoints")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    from vqvae_wavenet_tpu.config import ModelConfig
+    from vqvae_wavenet_tpu.data.datasets import DATASETS
+    from vqvae_wavenet_tpu.parallel.mesh import make_mesh, batch_sharding
+    from vqvae_wavenet_tpu.training.train_loop import (
+        init_train_state, make_jit_train_step)
+    from vqvae_wavenet_tpu.training.checkpoint import (
+        save_checkpoint, restore_checkpoint)
+    from vqvae_wavenet_tpu.training.metrics import MetricWriter, display_time
+
+    if args.dataset not in DATASETS:
+        raise NotImplementedError(f"dataset {args.dataset} not implemented")
+    dataset = DATASETS[args.dataset](
+        batch_size=args.batch_size, max_len=args.max_len,
+        relative_path=args.data_path).start()
+
+    cfg = ModelConfig.from_json(args.parameter_path)
+    if cfg.verbose:
+        print("wavenet receptive_field:", cfg.wavenet.receptive_field)
+
+    # data-parallel over as many devices as divide the batch
+    import math
+    n_dev = len(jax.devices())
+    num_data = math.gcd(args.batch_size, n_dev)
+    mesh = make_mesh(num_data=num_data, num_model=1,
+                     devices=jax.devices()[:num_data])
+    key = jax.random.PRNGKey(0)
+    ts = init_train_state(key, cfg, dataset.num_speakers)
+
+    if args.restore_path is not None:
+        ts = restore_checkpoint(args.restore_path, ts)
+    from vqvae_wavenet_tpu.parallel.mesh import replicated
+    ts = jax.device_put(ts, replicated(mesh))  # replicate over the mesh
+    gs = int(np.asarray(ts["step"]))
+    print(f"[restore] last global step: {gs}")
+
+    # save_path like 'saved_model/weights' -> dir 'saved_model'
+    save_dir = os.path.dirname(args.save_path) or "."
+    os.makedirs(save_dir, exist_ok=True)
+    writer = MetricWriter(save_dir)
+
+    step_fn = make_jit_train_step(cfg, mesh=None)
+    x_sharding = batch_sharding(mesh)
+
+    for step in range(1, 1 + args.num_steps):
+        t0 = time.time()
+        batch = dataset.next()
+        batch = {
+            "x": jax.device_put(batch["x"], x_sharding),
+            "y": jax.device_put(batch["y"], x_sharding),
+        }
+        # rng feeds only the optional time-jitter augmentation
+        sub = jax.random.PRNGKey(gs + step) if cfg.time_jitter else None
+        ts, metrics = step_fn(ts, batch, sub)
+        if int(np.asarray(metrics["step"])) % args.interval == 0:
+            gs = int(np.asarray(metrics["step"]))
+            writer.scalars(gs, {k: v for k, v in metrics.items()
+                                if k != "step"})
+            writer.histograms(gs, {
+                "embedding": ts["params"].get("vq", {}).get("embedding",
+                                                            np.zeros(0)),
+                "speaker_embedding": ts["params"].get("speaker_embedding",
+                                                      np.zeros(0)),
+            })
+            writer.flush()
+        t = time.time() - t0
+        gs = int(np.asarray(metrics["step"]))
+        rl = float(np.asarray(metrics["reconstruction_loss"]))
+        lr = float(np.asarray(metrics["lr"]))
+        progress = "\r[step %d] %.2f" % (gs, step / args.num_steps * 100) + "%"
+        loss_str = " [recons %.5f] [lr %.5f]" % (rl, lr)
+        second = (args.num_steps - step) * t
+        print(progress + loss_str + display_time(t, second), end="")
+        sys.stdout.flush()
+        if step % args.ckpt_interval == 0:
+            save_checkpoint(save_dir, ts)
+    path = save_checkpoint(save_dir, ts)
+    print(f"\nsaved {path}")
+    dataset.stop()
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

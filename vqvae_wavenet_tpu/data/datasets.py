@@ -1,0 +1,217 @@
+"""Data pipeline: VCTK / LibriSpeech / Aishell manifest readers with an
+infinite random-crop sampler feeding sharded device arrays.
+
+Reference semantics (dataset.py:9-144):
+  * manifest file lists wav paths; speaker file maps "speaker, int";
+    speaker id is parsed from the path by a per-corpus split function
+    (LibriSpeech dataset.py:114-122, VCTK :125-133, Aishell :136-144);
+  * each element: uniformly sample a file, read wav, normalize int16 by
+    (wav + 0.5)/32767.5 (:41), take a random max_len crop, yield
+    (wav [max_len, 1], speaker one-hot [1, S]);
+  * 48 kHz VCTK is resampled to 16 kHz (librosa in the reference; here
+    scipy.signal.resample_poly — librosa is not available in this image).
+
+Conscious fixes (documented per SURVEY.md §7):
+  * files shorter than max_len are zero-padded instead of crashing
+    (reference dataset.py:42-43 raises on len(wav) <= max_len and relies on
+    vctk_too_short.txt to exclude 3 files);
+  * a real background-thread prefetcher replaces the reference's unprefetched
+    generator (its .prefetch(4) is commented out, dataset.py:80).
+
+The TF1 reference expects manifests at data/<name>.txt; this repo's copy of
+the upstream keeps them under data/<corpus>_info/ — both locations are
+searched.
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+def get_speaker_to_int(speaker_path: str) -> dict:
+    """Parse 'speaker, int' lines (utils.py:93-100)."""
+    speaker_to_int = {}
+    with open(speaker_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            speaker, number = line.split(", ")
+            speaker_to_int[speaker] = int(number)
+    return speaker_to_int
+
+
+def write_speaker_to_int(file_list: str, write_as: str,
+                         split_func: Callable[[str], str]):
+    """Generate a speakers.txt from a manifest (utils.py:70-90)."""
+    speaker_to_int = {}
+    with open(file_list) as f:
+        files = f.readlines()
+    with open(write_as, "w") as out:
+        for filename in files:
+            speaker = split_func(filename.strip())
+            if speaker not in speaker_to_int:
+                speaker_to_int[speaker] = len(speaker_to_int)
+                out.write(f"{speaker}, {speaker_to_int[speaker]}\n")
+    return speaker_to_int
+
+
+def get_speaker_info(speaker_to_int: dict, info_path: str) -> dict:
+    """Speaker gender/accent metadata for the projector (utils.py:103-116);
+    VCTK is detected by the absence of '|' in the header line."""
+    with open(info_path) as f:
+        lines = f.readlines()
+    speaker_info = {}
+    is_vctk = "|" not in lines[0]
+    for line in lines[1:]:
+        parts = line.split(maxsplit=1)
+        if len(parts) < 2:
+            continue
+        speaker, info = parts
+        speaker = ("p" if is_vctk else "") + speaker
+        if speaker in speaker_to_int:
+            speaker_info[speaker_to_int[speaker]] = "#".join(info.split())
+    for v in speaker_to_int.values():
+        speaker_info.setdefault(v, "missing_info")
+    return speaker_info
+
+
+def read_wav_16k(path: str) -> np.ndarray:
+    """Read a wav as float32 @16 kHz with the reference's int16
+    normalization (dataset.py:41)."""
+    sr, wav = wavfile.read(path)
+    wav = np.asarray(wav)
+    if wav.ndim > 1:
+        wav = wav.mean(axis=1)
+    if wav.dtype == np.int16:
+        wav = (wav.astype(np.float32) + 0.5) / 32767.5
+    elif wav.dtype == np.int32:
+        wav = (wav.astype(np.float32) + 0.5) / 2147483647.5
+    else:
+        wav = wav.astype(np.float32)
+    if sr != 16000:
+        g = np.gcd(int(sr), 16000)
+        wav = resample_poly(wav, 16000 // g, sr // g).astype(np.float32)
+    return wav
+
+
+class Dataset:
+    """Infinite uniform-file random-crop sampler (dataset.py:33-63)."""
+
+    filename: str
+    speaker_file: str
+    data_dir: str
+    split_func: Callable[[str], str]
+    info_locations: tuple = ()
+
+    def __init__(self, batch_size: int = 1, max_len: int = 5120,
+                 relative_path: str = "data/", seed: Optional[int] = None,
+                 prefetch: int = 4):
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.relative_path = relative_path
+        self._rng = np.random.default_rng(seed)
+        self._prefetch = prefetch
+
+        manifest = self._find(self.filename)
+        speaker_file = self._find(self.speaker_file)
+        self.speaker_to_int = get_speaker_to_int(speaker_file)
+        self.num_speakers = len(self.speaker_to_int)
+        with open(manifest) as f:
+            self.all_files = [l.strip() for l in f if l.strip()]
+        self._rng.shuffle(self.all_files)
+        self._queue = None
+
+    def _find(self, name: str) -> str:
+        for sub in ("",) + self.info_locations:
+            candidate = os.path.join(self.relative_path, sub, name)
+            if os.path.exists(candidate):
+                return candidate
+        raise FileNotFoundError(
+            f"{name} not found under {self.relative_path} "
+            f"(searched {('.',) + self.info_locations})")
+
+    def _element(self):
+        i = self._rng.integers(len(self.all_files))
+        filename = self.all_files[i]
+        wav = read_wav_16k(os.path.join(self.relative_path, self.data_dir,
+                                        filename))
+        if len(wav) <= self.max_len:
+            wav = np.pad(wav, (0, self.max_len + 1 - len(wav)))
+        start = self._rng.integers(0, len(wav) - self.max_len)
+        crop = wav[start:start + self.max_len].reshape(self.max_len, 1)
+        speaker_id = self.speaker_to_int[self.split_func(filename)]
+        return crop.astype(np.float32), speaker_id
+
+    def batch(self):
+        """One host batch: x [B, max_len, 1] float32, y one-hot [B, 1, S]."""
+        xs, ys = [], []
+        for _ in range(self.batch_size):
+            x, s = self._element()
+            xs.append(x)
+            ys.append(s)
+        y = np.zeros((self.batch_size, 1, self.num_speakers), np.float32)
+        y[np.arange(self.batch_size), 0, ys] = 1.0
+        return {"x": np.stack(xs), "y": y}
+
+    # ---- background prefetch (replaces tf.data's generator thread) ----
+    def start(self):
+        if self._queue is not None:
+            return self
+        self._queue = queue.Queue(maxsize=self._prefetch)
+        self._stop = threading.Event()
+
+        def worker():
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(self.batch(), timeout=0.5)
+                except queue.Full:
+                    continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+        return self
+
+    def next(self):
+        if self._queue is None:
+            return self.batch()
+        return self._queue.get()
+
+    def stop(self):
+        if self._queue is not None:
+            self._stop.set()
+            self._thread.join(timeout=2)
+            self._queue = None
+
+
+class LibriSpeech(Dataset):
+    filename = "librispeech_train_clean_100.txt"
+    speaker_file = "librispeech_speakers.txt"
+    data_dir = ""
+    split_func = staticmethod(lambda s: s.split("/")[-1].split("-", 1)[0])
+    info_locations = ("librispeech_info",)
+
+
+class VCTK(Dataset):
+    filename = "vctk_train.txt"
+    speaker_file = "vctk_speakers.txt"
+    data_dir = "VCTK-Corpus/wav48/"
+    split_func = staticmethod(lambda s: s.split("/")[0])
+    info_locations = ("vctk_info",)
+
+
+class Aishell(Dataset):
+    filename = "aishell_train.txt"
+    speaker_file = "aishell_speakers.txt"
+    data_dir = ""
+    split_func = staticmethod(lambda s: s.split("/train/")[1].split("/")[0])
+    info_locations = ("aishell_info",)
+
+
+DATASETS = {"VCTK": VCTK, "LibriSpeech": LibriSpeech, "Aishell": Aishell}

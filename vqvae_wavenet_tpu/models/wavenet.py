@@ -1,0 +1,167 @@
+"""WaveNet decoder: teacher-forced training forward pass.
+
+Reproduces the reference graph (Decoder/WaveNet/wavenet.py:24-100) —
+preprocess conv (K=32) -> skip-start 1x1 -> 30 residual layers (gated dilated
+conv + per-layer local/global condition 1x1s + skip/residual 1x1s,
+wavenet_ops.py:104-138) -> relu -> 1x1 (+condition) -> relu -> 1x1 logits —
+as ONE ``lax.scan`` over stacked per-layer parameters [L, ...].
+
+The per-layer dilations (1..512 cycling, wavenet_parameters.json:11-13)
+differ across layers; the scan is possible because the dilated conv is
+expressed as K shifted matmuls where the (traced) dilation only moves a
+dynamic-slice start (see ops/conv.py::dilated_conv_taps).  This keeps
+compile time flat in depth and turns the whole stack into large static
+MXU matmuls.
+
+Loss (sparse CE over 256 mu-law bins, mean over B*T) matches
+wavenet.py:175-180 / model.py:90-94.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vqvae_wavenet_tpu.config import WavenetConfig
+from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
+from vqvae_wavenet_tpu.ops.conv import (
+    shift_right, causal_conv1d, dilated_conv_taps, add_condition,
+    uniform_unit_scaling_init,
+)
+
+
+def init_wavenet_params(key, cfg: WavenetConfig, lc_channels: Optional[int],
+                        gc_channels: Optional[int] = None):
+    """Build the WaveNet parameter pytree.
+
+    Per-layer parameters are stacked on a leading [L] axis so the whole
+    residual stack runs under one lax.scan.  Kernel init is
+    uniform-unit-scaling(1.0) and biases zero, matching conv1d_v2
+    (wavenet_ops.py:66-76); condition projections have no bias
+    (wavenet_ops.py:96).
+    """
+    L = cfg.num_layers
+    K = cfg.kernel_size
+    R = cfg.residual_filters
+    D = cfg.dilation_filters
+    S = cfg.skip_filters
+    Q = cfg.quantization_channels
+    PK, PF = cfg.preprocess_kernel_size, cfg.preprocess_filters
+
+    keys = iter(jax.random.split(key, 16 + 8 * L))
+
+    def uus(shape, factor=1.0):
+        return uniform_unit_scaling_init(next(keys), shape, factor)
+
+    def stack(shape):
+        return jnp.stack([uus(shape) for _ in range(L)])
+
+    params = {
+        "preprocess": {"kernel": uus((PK, 1, PF)), "bias": jnp.zeros((PF,))},
+        "skip_start": {"kernel": uus((1, PF, S)), "bias": jnp.zeros((S,))},
+        "layers": {
+            "kernel": stack((K, R, 2 * D)),
+            "bias": jnp.zeros((L, 2 * D)),
+            "skip_kernel": stack((D, S)),
+            "skip_bias": jnp.zeros((L, S)),
+            "res_kernel": stack((D, R)),
+            "res_bias": jnp.zeros((L, R)),
+        },
+        "postprocess1": {"kernel": uus((1, S, S)), "bias": jnp.zeros((S,))},
+        "postprocess2": {"kernel": uus((1, S, Q)), "bias": jnp.zeros((Q,))},
+    }
+    if lc_channels is not None:
+        params["layers"]["lc_kernel"] = stack((lc_channels, 2 * D))
+        params["postprocess1"]["lc_kernel"] = uus((lc_channels, S))
+    if gc_channels is not None:
+        params["layers"]["gc_kernel"] = stack((gc_channels, 2 * D))
+        params["postprocess1"]["gc_kernel"] = uus((gc_channels, S))
+    return params
+
+
+def wavenet_forward(params, cfg: WavenetConfig, inputs,
+                    local_condition=None, global_condition=None,
+                    *, gate_order: str = "tanh_first"):
+    """Teacher-forced forward pass.
+
+    Args:
+      inputs: raw float waveform [B, T, 1] in [-1, 1].
+      local_condition: [B, T_cond, C_lc] (T % T_cond == 0) or None.
+      global_condition: [B, T_gc, C_gc] or None (the main reference path
+        folds the speaker embedding into local_condition, decoder.py:30-36).
+      gate_order: 'tanh_first' (main impl, wavenet_ops.py:112-113) or
+        'sigmoid_first' (Magenta variant, Magenta/config.py:345-348).
+    Returns:
+      logits [B*T, Q], labels [B*T] int32 — exactly wavenet.py:33-99.
+    """
+    B, T, _ = inputs.shape
+    labels = mu_law_encode(inputs, cfg.quantization_channels,
+                           to_int=True).reshape(-1)
+    net = mu_law_encode(shift_right(inputs), cfg.quantization_channels)
+
+    net = causal_conv1d(net, params["preprocess"]["kernel"],
+                        params["preprocess"]["bias"])
+    skip = jnp.einsum("btc,cf->btf", net, params["skip_start"]["kernel"][0],
+                      preferred_element_type=jnp.float32)
+    skip = skip + params["skip_start"]["bias"]
+
+    D = cfg.dilation_filters
+    K = cfg.kernel_size
+    max_pad = (K - 1) * cfg.max_dilation
+    dilations = jnp.asarray(cfg.dilation_rates, dtype=jnp.int32)
+
+    lp = params["layers"]
+    has_lc = "lc_kernel" in lp and local_condition is not None
+    has_gc = "gc_kernel" in lp and global_condition is not None
+
+    def layer_step(carry, xs):
+        net, skip = carry
+        p, d = xs
+        x_padded = jnp.pad(net, ((0, 0), (max_pad, 0), (0, 0)))
+        pre = dilated_conv_taps(x_padded, p["kernel"], p["bias"], d,
+                                seq_len=T, max_pad=max_pad)
+        if has_lc:
+            pre = add_condition(pre, local_condition, p["lc_kernel"])
+        if has_gc:
+            pre = add_condition(pre, global_condition, p["gc_kernel"])
+            if "gc_bias" in p:  # Magenta add_gc has a bias (config.py:186-192)
+                pre = pre + p["gc_bias"]
+        if gate_order == "tanh_first":
+            gated = jnp.tanh(pre[..., :D]) * jax.nn.sigmoid(pre[..., D:])
+        else:
+            gated = jax.nn.sigmoid(pre[..., :D]) * jnp.tanh(pre[..., D:])
+        skip = skip + jnp.einsum("btc,cf->btf", gated, p["skip_kernel"],
+                                 preferred_element_type=jnp.float32) + p["skip_bias"]
+        net = net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
+                               preferred_element_type=jnp.float32) + p["res_bias"]
+        return (net, skip), None
+
+    (net, skip), _ = lax.scan(layer_step, (net, skip), (lp, dilations))
+
+    net = jax.nn.relu(skip)
+    pp1 = params["postprocess1"]
+    net = jnp.einsum("btc,cf->btf", net, pp1["kernel"][0],
+                     preferred_element_type=jnp.float32) + pp1["bias"]
+    if "lc_kernel" in pp1 and local_condition is not None:
+        net = add_condition(net, local_condition, pp1["lc_kernel"])
+    if "gc_kernel" in pp1 and global_condition is not None:
+        net = add_condition(net, global_condition, pp1["gc_kernel"])
+        if "gc_bias" in pp1:
+            net = net + pp1["gc_bias"]
+
+    net = jax.nn.relu(net)
+    pp2 = params["postprocess2"]
+    net = jnp.einsum("btc,cf->btf", net, pp2["kernel"][0],
+                     preferred_element_type=jnp.float32) + pp2["bias"]
+
+    logits = net.reshape(-1, cfg.quantization_channels)
+    return logits, labels
+
+
+def wavenet_loss(logits, labels):
+    """Mean sparse softmax CE over flattened B*T (wavenet.py:175-180)."""
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
