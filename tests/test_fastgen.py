@@ -55,11 +55,12 @@ def test_fastgen_matches_with_kernel_size_2(key):
 def test_gen_state_footprint():
     cfg = WavenetConfig()  # shipped config
     state = init_gen_state(cfg, batch_size=1)
-    slots = sum(b.shape[0] for b in state["layer_bufs"])
-    # (K-1) * sum(dilations) = 2 * 3069 ring slots; reference holds 6,169
-    # FIFO slots = the same history (+preprocess) — SURVEY.md §2a.
-    assert slots == 2 * sum(cfg.dilation_rates)
+    # one uniform ring buffer [L, (K-1)*max_d, B, R] covers the reference's
+    # 6,169 FIFO slots of history (SURVEY.md §2a)
+    assert state["bufs"].shape == (30, 2 * 512, 1, 256)
     assert state["pre_buf"].shape == (32, 1, 1)
+    assert (cfg.kernel_size - 1) * max(cfg.dilation_rates) >= max(
+        (cfg.kernel_size - 1) * d for d in cfg.dilation_rates)
 
 
 def test_generate_shapes_and_determinism(key):

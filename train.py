@@ -43,6 +43,9 @@ def parse_args(argv=None):
                         metavar="str", help="dataset root directory")
     parser.add_argument("-ckpt_interval", default=2000, type=int,
                         help="steps between checkpoints")
+    parser.add_argument("-profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of steps 10-15 "
+                             "into DIR (view with TensorBoard)")
     return parser.parse_args(argv)
 
 
@@ -94,6 +97,12 @@ def main(argv=None):
     x_sharding = batch_sharding(mesh)
 
     for step in range(1, 1 + args.num_steps):
+        if args.profile and step == 10:
+            jax.profiler.start_trace(args.profile)
+        if args.profile and step == 15:
+            jax.block_until_ready(ts["params"])
+            jax.profiler.stop_trace()
+            print(f"\n[profile] trace written to {args.profile}")
         t0 = time.time()
         batch = dataset.next()
         batch = {

@@ -5,27 +5,37 @@ The reference implements the "fast WaveNet" queue algorithm
 sess.run PER AUDIO SAMPLE (generate.py:108-113 — 32,768 host round trips for
 a 2 s clip; its structurally dominant cost, see BASELINE.md).
 
-Here the whole sampling loop is one ``lax.scan`` over time:
-  * each residual layer's FIFO queues become a zero-initialized ring buffer
-    of its layer input with natural size (K-1)*dilation (a power of two),
-    stored in the scan carry — XLA updates them in place;
-  * per step, kernel tap j reads slot (t - j*d) mod size; since t < j*d
-    wraps to a not-yet-written slot, zero-init reproduces the reference's
-    zero-enqueued queues (wavenet_ops.py:177-186) exactly;
+Here the whole sampling loop is one ``lax.scan`` over time whose body is a
+``lax.fori_loop`` over the stacked layer parameters:
+
+  * the reference's FIFO queues become ONE uniform ring buffer
+    [L, BUF, B, R] with BUF = (K-1)*max_dilation, kept in the scan carry —
+    threaded through the loop carries so XLA updates it in place.  Per step
+    each layer reads its K-1 taps at (t - j*d_l) mod BUF and writes its
+    input at t mod BUF (all layers share the write cursor);
+  * zero-init correctness: while t < j*d the read slot wraps to an index in
+    [t, BUF) which has not been written yet, reproducing the reference's
+    zero-enqueued queues (wavenet_ops.py:177-186) exactly; once t >= BUF
+    the slot being read at distance exactly BUF is the one about to be
+    overwritten, and reads happen before the write;
   * sampling draws from the categorical logits with jax.random on device
-    ('sample' mode; 'greedy' = argmax), then mu-law-decodes on device.
+    ('sample' | 'greedy'), then mu-law-decodes on device;
+  * compute_dtype=bfloat16 halves the per-step HBM weight traffic — the
+    binding constraint at small batch — with logits cast back to f32 for
+    sampling.
+
+The fori-loop-over-layers structure keeps the HLO O(1) in depth (30 layers
+compile as one body), unlike an unrolled stack whose XLA program takes tens
+of minutes to compile at this depth.
 
 The step math mirrors wavenet.py:103-173 / wavenet_ops.py:147-267
 layer-for-layer against the SAME parameter pytree the training graph uses,
-so fast-vs-teacher-forced logits are bitwise-comparable (tested in
-tests/test_fastgen.py).
+so fast-vs-teacher-forced logits agree numerically (tests/test_fastgen.py).
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -34,18 +44,20 @@ from vqvae_wavenet_tpu.config import WavenetConfig
 from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode, mu_law_decode
 
 
+def ring_buffer_len(cfg: WavenetConfig) -> int:
+    return (cfg.kernel_size - 1) * cfg.max_dilation
+
+
 def init_gen_state(cfg: WavenetConfig, batch_size: int, dtype=jnp.float32):
-    """Zeroed generation state: per-layer ring buffers + preprocess window
-    + the time counter.  Total slots = sum((K-1)*d) + preprocess K — the
-    same 6,169-slot footprint as the reference's queues (SURVEY.md §2a)."""
-    K = cfg.kernel_size
-    R = cfg.residual_filters
-    bufs = tuple(
-        jnp.zeros(((K - 1) * d, batch_size, R), dtype)
-        for d in cfg.dilation_rates)
-    pre_buf = jnp.zeros((cfg.preprocess_kernel_size, batch_size, 1), dtype)
-    return {"t": jnp.zeros((), jnp.int32), "pre_buf": pre_buf,
-            "layer_bufs": bufs}
+    """Zeroed generation state: the layer ring buffer, the preprocess input
+    window, and the time counter."""
+    return {
+        "t": jnp.zeros((), jnp.int32),
+        "pre_buf": jnp.zeros((cfg.preprocess_kernel_size, batch_size, 1),
+                             dtype),
+        "bufs": jnp.zeros((cfg.num_layers, ring_buffer_len(cfg), batch_size,
+                           cfg.residual_filters), dtype),
+    }
 
 
 def gen_step(params, cfg: WavenetConfig, state, x_t, lc_t=None, gc_t=None,
@@ -64,76 +76,99 @@ def gen_step(params, cfg: WavenetConfig, state, x_t, lc_t=None, gc_t=None,
     K = cfg.kernel_size
     D = cfg.dilation_filters
     PK = cfg.preprocess_kernel_size
+    BUF = ring_buffer_len(cfg)
     t = state["t"]
+    dtype = state["pre_buf"].dtype
+    b = x_t.shape[0]
+    dilations = jnp.asarray(cfg.dilation_rates, jnp.int32)
 
-    u_t = mu_law_encode(x_t, cfg.quantization_channels)  # [B, 1] float
+    u_t = mu_law_encode(x_t, cfg.quantization_channels).astype(dtype)
 
     # -- preprocess conv over the last PK inputs, as one [B, PK] x [PK, F]
     pre_buf = lax.dynamic_update_index_in_dim(
         state["pre_buf"], u_t, jnp.remainder(t, PK), axis=0)
     # window in ascending time order: slot (t+1) mod PK holds x[t-PK+1]
     window = jnp.roll(pre_buf, -(jnp.remainder(t, PK) + 1), axis=0)
-    w_pre = params["preprocess"]["kernel"][:, 0, :]  # [PK, F]
+    w_pre = params["preprocess"]["kernel"][:, 0, :].astype(dtype)  # [PK, F]
     current = (jnp.einsum("pb,pf->bf", window[:, :, 0], w_pre,
-                          preferred_element_type=jnp.float32)
-               + params["preprocess"]["bias"])
+                          preferred_element_type=jnp.float32).astype(dtype)
+               + params["preprocess"]["bias"].astype(dtype))
 
-    skip = (current @ params["skip_start"]["kernel"][0]
-            + params["skip_start"]["bias"])
+    skip = (current @ params["skip_start"]["kernel"][0].astype(dtype)
+            + params["skip_start"]["bias"].astype(dtype))
 
     lp = params["layers"]
-    new_bufs = []
-    for i, d in enumerate(cfg.dilation_rates):
-        buf = state["layer_bufs"][i]
-        size = buf.shape[0]  # (K-1)*d
-        kernel = lp["kernel"][i]         # [K, R, 2D]
-        pre = current @ kernel[K - 1] + lp["bias"][i]
+    has_lc = lc_t is not None and "lc_kernel" in lp
+    has_gc = gc_t is not None and "gc_kernel" in lp
+    write_slot = jnp.remainder(t, BUF)
+
+    def layer_body(i, carry):
+        current, skip, bufs = carry
+        kernel = lp["kernel"][i].astype(dtype)          # [K, R, 2D]
+        d = dilations[i]
+        pre = current @ kernel[K - 1] + lp["bias"][i].astype(dtype)
         for j in range(1, K):
-            past = buf[jnp.remainder(t - j * d, size)]  # [B, R]
+            slot = jnp.remainder(t - j * d, BUF)
+            past = lax.dynamic_slice(
+                bufs, (i, slot, 0, 0),
+                (1, 1, b, cfg.residual_filters))[0, 0]   # [B, R]
             pre = pre + past @ kernel[K - 1 - j]
-        if lc_t is not None and "lc_kernel" in lp:
-            pre = pre + lc_t @ lp["lc_kernel"][i]
-        if gc_t is not None and "gc_kernel" in lp:
-            pre = pre + gc_t @ lp["gc_kernel"][i]
+        if has_lc:
+            pre = pre + lc_t.astype(dtype) @ lp["lc_kernel"][i].astype(dtype)
+        if has_gc:
+            pre = pre + gc_t.astype(dtype) @ lp["gc_kernel"][i].astype(dtype)
             if "gc_bias" in lp:
-                pre = pre + lp["gc_bias"][i]
+                pre = pre + lp["gc_bias"][i].astype(dtype)
         if gate_order == "tanh_first":
             gated = jnp.tanh(pre[:, :D]) * jax.nn.sigmoid(pre[:, D:])
         else:
             gated = jax.nn.sigmoid(pre[:, :D]) * jnp.tanh(pre[:, D:])
-        skip = skip + gated @ lp["skip_kernel"][i] + lp["skip_bias"][i]
-        # push this layer's INPUT into its ring buffer (read-before-write
-        # above lets tap j = K-1 see x[t - (K-1)d] from the slot we reuse)
-        new_bufs.append(lax.dynamic_update_index_in_dim(
-            buf, current, jnp.remainder(t, size), axis=0))
-        current = current + gated @ lp["res_kernel"][i] + lp["res_bias"][i]
+        skip = skip + gated @ lp["skip_kernel"][i].astype(dtype) \
+            + lp["skip_bias"][i].astype(dtype)
+        # push this layer's INPUT into its ring slot (reads above happen
+        # first, so the tap at distance exactly BUF sees the old value)
+        bufs = lax.dynamic_update_slice(
+            bufs, current[None, None], (i, write_slot, 0, 0))
+        current = current + gated @ lp["res_kernel"][i].astype(dtype) \
+            + lp["res_bias"][i].astype(dtype)
+        return current, skip, bufs
+
+    current, skip, bufs = lax.fori_loop(
+        0, cfg.num_layers, layer_body, (current, skip, state["bufs"]))
 
     net = jax.nn.relu(skip)
     pp1 = params["postprocess1"]
-    net = net @ pp1["kernel"][0] + pp1["bias"]
+    net = net @ pp1["kernel"][0].astype(dtype) + pp1["bias"].astype(dtype)
     if lc_t is not None and "lc_kernel" in pp1:
-        net = net + lc_t @ pp1["lc_kernel"]
+        net = net + lc_t.astype(dtype) @ pp1["lc_kernel"].astype(dtype)
     if gc_t is not None and "gc_kernel" in pp1:
-        net = net + gc_t @ pp1["gc_kernel"]
+        net = net + gc_t.astype(dtype) @ pp1["gc_kernel"].astype(dtype)
         if "gc_bias" in pp1:
-            net = net + pp1["gc_bias"]
+            net = net + pp1["gc_bias"].astype(dtype)
     net = jax.nn.relu(net)
     pp2 = params["postprocess2"]
-    logits = net @ pp2["kernel"][0] + pp2["bias"]
+    logits = net @ pp2["kernel"][0].astype(dtype) + pp2["bias"].astype(dtype)
 
-    new_state = {"t": t + 1, "pre_buf": pre_buf,
-                 "layer_bufs": tuple(new_bufs)}
+    new_state = {"t": t + 1, "pre_buf": pre_buf, "bufs": bufs}
     return logits, new_state
 
 
-@partial(jax.jit, static_argnames=("cfg", "length", "mode", "gate_order"))
+@partial(jax.jit, static_argnames=("cfg", "length", "mode", "gate_order",
+                                   "compute_dtype"))
 def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
-                  length: int, mode: str, gate_order: str = "tanh_first"):
+                  length: int, mode: str, gate_order: str = "tanh_first",
+                  compute_dtype=jnp.float32):
     b = local_condition.shape[0]
     t_cond = local_condition.shape[1]
     ratio = length // t_cond
-    state0 = init_gen_state(cfg, b)
-    x0 = jnp.zeros((b, 1))
+    if compute_dtype != jnp.float32:
+        # generation at small batch is weight-streaming-bound: bf16 params
+        # halve the HBM traffic per step
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype), params)
+        local_condition = local_condition.astype(compute_dtype)
+    state0 = init_gen_state(cfg, b, dtype=compute_dtype)
+    x0 = jnp.zeros((b, 1), compute_dtype)
 
     def body(carry, i):
         state, x_t, key = carry
@@ -142,6 +177,7 @@ def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
         logits, state = gen_step(params, cfg, state, x_t, lc_t,
                                  gate_order=gate_order)
         key, sub = jax.random.split(key)
+        logits = logits.astype(jnp.float32)
         if mode == "sample":
             bins = jax.random.categorical(sub, logits, axis=-1)
         elif mode == "greedy":
@@ -149,7 +185,7 @@ def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
         else:
             raise NotImplementedError(f"decode mode {mode} not implemented")
         x_next = mu_law_decode(bins, cfg.quantization_channels)
-        return (state, x_next[:, None], key), x_next
+        return (state, x_next[:, None].astype(compute_dtype), key), x_next
 
     (_, _, _), samples = lax.scan(body, (state0, x0, key),
                                   jnp.arange(length, dtype=jnp.int32))
@@ -157,7 +193,8 @@ def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
 
 
 def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
-             key=None, mode: str = "sample", gate_order: str = "tanh_first"):
+             key=None, mode: str = "sample", gate_order: str = "tanh_first",
+             compute_dtype=jnp.float32):
     """Autoregressive generation: ONE device program for the whole clip.
 
     Args:
@@ -166,6 +203,8 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
         generate.py:108-113.
       length: number of samples; must be a multiple of T_cond.
       mode: 'sample' | 'greedy' (utils.py:30-46 semantics, on device).
+      compute_dtype: jnp.float32 | jnp.bfloat16 (weights+activations;
+        sampling always in f32).
     Returns:
       float waveform [B, length] in [-1, 1].
     """
@@ -177,7 +216,7 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
         "length must be a multiple of the conditioning frames "
         f"({local_condition.shape[1]})")
     return _generate_jit(params, cfg, local_condition, key, length, mode,
-                         gate_order)
+                         gate_order, compute_dtype)
 
 
 def teacher_forced_stepper(params, cfg: WavenetConfig, x, local_condition,

@@ -96,9 +96,20 @@ def wavenet_forward(params, cfg: WavenetConfig, inputs,
     Returns:
       logits [B*T, Q], labels [B*T] int32 — exactly wavenet.py:33-99.
     """
-    B, T, _ = inputs.shape
     labels = mu_law_encode(inputs, cfg.quantization_channels,
                            to_int=True).reshape(-1)
+    net = wavenet_logits(params, cfg, inputs, local_condition,
+                         global_condition, gate_order=gate_order)
+    return net.reshape(-1, cfg.quantization_channels), labels
+
+
+def wavenet_logits(params, cfg: WavenetConfig, inputs,
+                   local_condition=None, global_condition=None,
+                   *, gate_order: str = "tanh_first"):
+    """Teacher-forced logits, unflattened [B, T, Q] (the building block for
+    both wavenet_forward and the time-sharded SP path in
+    parallel/timeshard.py)."""
+    B, T, _ = inputs.shape
     net = mu_law_encode(shift_right(inputs), cfg.quantization_channels)
 
     net = causal_conv1d(net, params["preprocess"]["kernel"],
@@ -155,9 +166,7 @@ def wavenet_forward(params, cfg: WavenetConfig, inputs,
     pp2 = params["postprocess2"]
     net = jnp.einsum("btc,cf->btf", net, pp2["kernel"][0],
                      preferred_element_type=jnp.float32) + pp2["bias"]
-
-    logits = net.reshape(-1, cfg.quantization_channels)
-    return logits, labels
+    return net
 
 
 def wavenet_loss(logits, labels):
@@ -165,3 +174,41 @@ def wavenet_loss(logits, labels):
     logp = jax.nn.log_softmax(logits)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     return jnp.mean(nll)
+
+
+def make_standalone_trainer(cfg: WavenetConfig, lc_channels=None,
+                            gc_channels=None, schedule=None):
+    """Standalone WaveNet trainer — the reference's Wavenet.get_loss path
+    (wavenet.py:175-198: own global step, hardcoded 6-point LR schedule,
+    Adam) so WaveNet trains alone without the VQVAE wrapper.
+
+    Returns (init_fn(key) -> state, step_fn(state, x, lc, gc) -> (state,
+    metrics)); step_fn is jit-compiled.
+    """
+    import optax
+    from vqvae_wavenet_tpu.training.optimizer import (
+        piecewise_constant_schedule, WAVENET_STANDALONE_SCHEDULE)
+
+    schedule = schedule or WAVENET_STANDALONE_SCHEDULE
+    lr_fn = piecewise_constant_schedule(schedule)
+    opt = optax.adam(lr_fn)
+
+    def init_fn(key):
+        params = init_wavenet_params(key, cfg, lc_channels, gc_channels)
+        return {"params": params, "opt_state": opt.init(params),
+                "step": jnp.zeros((), jnp.int32)}
+
+    def loss_fn(params, x, lc, gc):
+        logits, labels = wavenet_forward(params, cfg, x, lc, gc)
+        return wavenet_loss(logits, labels)
+
+    @jax.jit
+    def step_fn(state, x, lc=None, gc=None):
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], x, lc, gc)
+        updates, opt_state = opt.update(grads, state["opt_state"])
+        params = optax.apply_updates(state["params"], updates)
+        step = state["step"] + 1
+        return ({"params": params, "opt_state": opt_state, "step": step},
+                {"loss": loss, "lr": lr_fn(state["step"]), "step": step})
+
+    return init_fn, step_fn
