@@ -37,14 +37,15 @@ def main():
     params = init_wavenet_params(key, cfg, lc_channels=lc_channels)
     lc = jax.random.normal(jax.random.PRNGKey(1), (batch, t_cond, lc_channels))
 
-    # ---- fast path: whole clip as one on-device scan (bf16 weights — the
-    # step is weight-streaming-bound, bf16 halves HBM traffic)
+    # ---- fast path: whole clip as ONE fused Pallas kernel (bf16 weight
+    # streaming with a 3-slot DMA pipeline + in-kernel Gumbel sampling);
+    # engine='auto' picks it on TPU, falling back to the XLA scan
     wav = generate(params, cfg, lc, length=length, key=key,
-                   compute_dtype=jnp.bfloat16)  # compile
+                   compute_dtype=jnp.bfloat16, engine="auto")  # compile
     wav.block_until_ready()
     t0 = time.perf_counter()
     wav = generate(params, cfg, lc, length=length, key=jax.random.PRNGKey(2),
-                   compute_dtype=jnp.bfloat16)
+                   compute_dtype=jnp.bfloat16, engine="auto")
     wav.block_until_ready()
     fast_time = time.perf_counter() - t0
     fast_sps = length / fast_time

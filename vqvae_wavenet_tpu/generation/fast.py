@@ -192,9 +192,33 @@ def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
     return samples.T  # [B, length]
 
 
+def _pallas_eligible(params, cfg: WavenetConfig, local_condition,
+                     gate_order: str) -> bool:
+    b, _, c = local_condition.shape
+    # VMEM budget (bf16): ring + resident res matrices + 3 weight slots
+    ring_rows = (cfg.kernel_size - 1) * sum(cfg.dilation_rates)
+    ring_mb = ring_rows * b * cfg.residual_filters * 2 / 2 ** 20
+    a_cols = max(2 * cfg.dilation_filters, cfg.skip_filters)
+    a_rows = (cfg.kernel_size * cfg.residual_filters + c
+              + cfg.dilation_filters + 2)
+    slots_mb = 3 * a_rows * a_cols * 2 / 2 ** 20
+    res_mb = (cfg.num_layers * (cfg.dilation_filters + 16)
+              * cfg.residual_filters * 2 / 2 ** 20)
+    return (jax.devices()[0].platform in ("tpu", "axon")
+            and gate_order == "tanh_first"
+            and "gc_bias" not in params["layers"]
+            and "lc_kernel" in params["layers"]
+            and cfg.num_layers >= 4
+            and cfg.residual_filters % 128 == 0
+            and cfg.dilation_filters * 2 % 128 == 0
+            and cfg.skip_filters % 128 == 0
+            and cfg.quantization_channels % 128 == 0
+            and ring_mb + slots_mb + res_mb <= 12.0)
+
+
 def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
              key=None, mode: str = "sample", gate_order: str = "tanh_first",
-             compute_dtype=jnp.float32):
+             compute_dtype=jnp.float32, engine: str = "auto"):
     """Autoregressive generation: ONE device program for the whole clip.
 
     Args:
@@ -205,6 +229,9 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
       mode: 'sample' | 'greedy' (utils.py:30-46 semantics, on device).
       compute_dtype: jnp.float32 | jnp.bfloat16 (weights+activations;
         sampling always in f32).
+      engine: 'auto' | 'xla' | 'pallas'.  'pallas' = the fused whole-clip
+        kernel (ops/gen_pallas.py) — TPU only, small batch, 128-aligned
+        channels; 'auto' picks it when eligible and compute_dtype is bf16.
     Returns:
       float waveform [B, length] in [-1, 1].
     """
@@ -215,6 +242,15 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
     assert length % local_condition.shape[1] == 0, (
         "length must be a multiple of the conditioning frames "
         f"({local_condition.shape[1]})")
+
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and compute_dtype == jnp.bfloat16
+        and _pallas_eligible(params, cfg, local_condition, gate_order))
+    if use_pallas:
+        from vqvae_wavenet_tpu.ops.gen_pallas import generate_pallas
+        seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+        return generate_pallas(params, cfg, local_condition, length=length,
+                               seed=seed, mode=mode, dtype=compute_dtype)
     return _generate_jit(params, cfg, local_condition, key, length, mode,
                          gate_order, compute_dtype)
 

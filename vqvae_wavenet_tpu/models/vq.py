@@ -55,17 +55,24 @@ def quantize(params, z_e, *, mode: str = "st"):
     Returns dict with z_q (decoder input, gradient behavior per mode),
     e_k (raw lookup), q_z_x (int32 code indices), perplexity.
     """
+    from vqvae_wavenet_tpu.ops.vq_pallas import vq_nearest
+
     embedding = params["embedding"]
     k, d = embedding.shape
     flat = z_e.reshape(-1, d)
-    # ||z||^2 - 2 z E^T + ||E||^2  (argmin unaffected by the ||z||^2 term)
-    dots = jnp.einsum("nd,kd->nk", flat, embedding,
-                      preferred_element_type=jnp.float32)
-    distances = (jnp.sum(flat ** 2, axis=-1, keepdims=True)
-                 - 2.0 * dots + jnp.sum(embedding ** 2, axis=-1))
-    q_z_x = jnp.argmin(distances, axis=-1)
+    # fused Pallas distance+argmin on TPU (never materializes [N, k] in
+    # HBM); jnp fallback elsewhere.  Gradients flow through the lookup and
+    # the ST estimator, never the argmin.
+    q_z_x = vq_nearest(jax.lax.stop_gradient(flat), embedding)
     e_k = jnp.take(embedding, q_z_x, axis=0).reshape(z_e.shape)
     q_z_x = q_z_x.reshape(z_e.shape[:-1])
+    # mean over the full [N, k] distance set in closed form (for the
+    # reference's 'distances' metric, model.py:62) without the matrix:
+    # E[||z-e||^2] = E||z||^2 + E||e||^2 - 2 E[z].E[e]
+    distances_mean = (jnp.mean(jnp.sum(flat ** 2, -1))
+                      + jnp.mean(jnp.sum(embedding ** 2, -1))
+                      - 2.0 * jnp.dot(jnp.mean(flat, 0),
+                                      jnp.mean(embedding, 0)))
 
     if mode in ("st", "ema"):
         z_q = z_e + jax.lax.stop_gradient(e_k - z_e)
@@ -80,7 +87,7 @@ def quantize(params, z_e, *, mode: str = "st"):
     perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
 
     return {"z_q": z_q, "e_k": e_k, "q_z_x": q_z_x.astype(jnp.int32),
-            "perplexity": perplexity, "distances_mean": jnp.mean(distances)}
+            "perplexity": perplexity, "distances_mean": distances_mean}
 
 
 def vq_losses(z_e, e_k, beta: float, *, mode: str = "st"):

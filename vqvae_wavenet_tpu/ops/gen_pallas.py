@@ -1,0 +1,337 @@
+"""Pallas TPU kernel: the ENTIRE autoregressive WaveNet generation loop.
+
+The XLA scan path (generation/fast.py) already replaces the reference's
+one-sess.run-per-sample loop with one device program, but each of its steps
+still pays XLA loop/dispatch overheads around ~60 small matmuls.  At small
+batch the step is weight-streaming-bound: every sample must read all ~40MB
+(bf16) of decoder weights from HBM.  This kernel turns the whole clip into
+ONE pallas_call whose grid is the sample index:
+
+  * per-layer weights are packed into two row-aligned HBM arrays
+    ([L, 1168, 512] and [L, 272, 256] bf16 for the shipped config) and
+    DOUBLE-BUFFERED into VMEM with async DMA — layer l+1 streams in while
+    layer l computes, continuing seamlessly across sample boundaries, so
+    the DMA engine runs at full HBM bandwidth;
+  * the fast-WaveNet ring buffers live entirely in VMEM scratch (flat
+    [sum((K-1)d), B, R]), with per-layer offsets/dilations in SMEM via
+    scalar prefetch;
+  * sampling happens in-kernel: Gumbel-max over the logits using the TPU
+    PRNG (pltpu.prng_random_bits), or argmax for greedy — so the sampled
+    mu-law bin feeds the next step without leaving the core.
+
+Scope: B small enough that the ring fits VMEM (B <= 4 for the shipped
+config); generation/fast.py::generate(engine=...) dispatches here on TPU
+and falls back to the XLA scan otherwise.  Sampling uses the hardware PRNG
+stream (a different stream than jax.random — same distribution); greedy
+mode matches the XLA path's outputs.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vqvae_wavenet_tpu.config import WavenetConfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _layout(cfg: WavenetConfig, lc_channels: int):
+    """Static row layout of the two packed per-layer weight blocks."""
+    K, R, D, S = (cfg.kernel_size, cfg.residual_filters,
+                  cfg.dilation_filters, cfg.skip_filters)
+    assert 2 * D % 128 == 0 and S % 128 == 0 and R % 128 == 0
+    # Streamed block A per layer: taps, lc, skip, biases (one DMA/layer).
+    # The small res matrices stay RESIDENT in VMEM (loaded once per launch)
+    # so they cost no per-step HBM bandwidth.
+    a_cols = max(2 * D, S)
+    rows_taps = K * R                      # K tap matrices [R, 2D]
+    rows_lc = lc_channels                  # [C, 2D]
+    rows_skip = D                          # [D, S]
+    off_bias = rows_taps + rows_lc + rows_skip
+    a_rows = off_bias + 2
+    return {
+        "a_cols": a_cols, "a_rows": _round_up(a_rows, 16),
+        "off_lc": rows_taps, "off_skip": rows_taps + rows_lc,
+        "off_bias": off_bias,
+        "off_skip_bias": off_bias + 1,
+        "res_rows": _round_up(D + 1, 16), "off_res_bias": D,
+    }
+
+
+def pack_gen_params(params, cfg: WavenetConfig, lc_channels: int,
+                    dtype=jnp.bfloat16):
+    """Pack the stacked layer params into the kernel's two HBM blocks plus
+    the small resident tensors."""
+    L = cfg.num_layers
+    K = cfg.kernel_size
+    D = cfg.dilation_filters
+    S = cfg.skip_filters
+    R = cfg.residual_filters
+    lay = _layout(cfg, lc_channels)
+    lp = params["layers"]
+
+    a = jnp.zeros((L, lay["a_rows"], lay["a_cols"]), dtype)
+    # taps: kernel [L, K, R, 2D] -> rows [K*R, 2D]
+    a = a.at[:, :K * R, :2 * D].set(
+        lp["kernel"].reshape(L, K * R, 2 * D).astype(dtype))
+    a = a.at[:, lay["off_lc"]:lay["off_lc"] + lc_channels, :2 * D].set(
+        lp["lc_kernel"].astype(dtype))
+    a = a.at[:, lay["off_skip"]:lay["off_skip"] + D, :S].set(
+        lp["skip_kernel"].astype(dtype))
+    a = a.at[:, lay["off_bias"], :2 * D].set(lp["bias"].astype(dtype))
+    a = a.at[:, lay["off_skip_bias"], :S].set(lp["skip_bias"].astype(dtype))
+
+    res = jnp.zeros((L, lay["res_rows"], R), dtype)
+    res = res.at[:, :D, :].set(lp["res_kernel"].astype(dtype))
+    res = res.at[:, lay["off_res_bias"], :].set(lp["res_bias"].astype(dtype))
+
+    small = {
+        "w_pre": params["preprocess"]["kernel"][:, 0, :].astype(dtype),
+        "b_pre": params["preprocess"]["bias"].astype(dtype)[None, :],
+        "w_ss": params["skip_start"]["kernel"][0].astype(dtype),
+        "b_ss": params["skip_start"]["bias"].astype(dtype)[None, :],
+        "w_pp1": params["postprocess1"]["kernel"][0].astype(dtype),
+        "b_pp1": params["postprocess1"]["bias"].astype(dtype)[None, :],
+        "w_pp1_lc": params["postprocess1"]["lc_kernel"].astype(dtype),
+        "w_pp2": params["postprocess2"]["kernel"][0].astype(dtype),
+        "b_pp2": params["postprocess2"]["bias"].astype(dtype)[None, :],
+    }
+    return a, res, small
+
+
+def _ring_tables(cfg: WavenetConfig):
+    sizes = [(cfg.kernel_size - 1) * d for d in cfg.dilation_rates]
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    total = int(np.sum(sizes))
+    return (np.asarray(offs, np.int32),
+            np.asarray(cfg.dilation_rates, np.int32),
+            np.asarray(sizes, np.int32),
+            _round_up(max(total, 8), 8))
+
+
+def _mu_law_encode_f32(x, q):
+    mu = float(q - 1)
+    x = jnp.clip(x, -1.0, 1.0)
+    return jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / math.log1p(mu)
+
+
+def _mu_law_decode_f32(bins, q):
+    mu = float(q - 1)
+    y = (2.0 * bins.astype(jnp.float32) / mu) - 1.0
+    return jnp.clip(jnp.sign(y) * ((1.0 + mu) ** jnp.abs(y) - 1.0) / mu,
+                    -1.0, 1.0)
+
+
+def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
+                 length: int, t_cond: int, mode: str, dtype):
+    L = cfg.num_layers
+    K = cfg.kernel_size
+    D = cfg.dilation_filters
+    S = cfg.skip_filters
+    R = cfg.residual_filters
+    Q = cfg.quantization_channels
+    PK = cfg.preprocess_kernel_size
+    ratio = length // t_cond
+    lay = _layout(cfg, lc_channels)
+    B = batch
+    # f32 verification builds use exact accumulation; bf16 production dots
+    # are single-pass on the MXU either way
+    prec = (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+
+    def kernel(off_ref, dil_ref, size_ref, seed_ref,          # scalar prefetch
+               a_hbm, res_ref, lc_ref, w_pre, b_pre, w_ss, b_ss,
+               w_pp1, b_pp1, w_pp1_lc, w_pp2, b_pp2,          # inputs
+               out_ref,                                       # output
+               w512, ring, win, prev, sems):                  # scratch
+        i = pl.program_id(0)
+
+        def dma_a(l, slot):
+            return pltpu.make_async_copy(a_hbm.at[l], w512.at[slot],
+                                         sems.at[slot])
+
+        @pl.when(i == 0)
+        def _init():
+            if mode == "sample":   # greedy needs no PRNG (and CPU
+                pltpu.prng_seed(seed_ref[0])  # interpret mode lacks one)
+            ring[...] = jnp.zeros_like(ring)
+            win[...] = jnp.zeros_like(win)
+            prev[...] = jnp.zeros_like(prev)
+            dma_a(0, 0).start()
+            dma_a(1, 1).start()
+
+        # ---- preprocess: mu-law encode prev sample, roll it into the window
+        u_t = _mu_law_encode_f32(prev[0, :], Q)                 # [B]
+        w_shift = pltpu.roll(win[...], PK - 1, 0)               # [PK, B]
+        win[...] = w_shift
+        win[PK - 1, :] = u_t
+        current = (
+            lax.dot_general(win[...].astype(dtype), w_pre[...],
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=prec)
+            + b_pre[...]).astype(dtype)                         # [B, F=R]
+        skip = (jnp.dot(current, w_ss[...],
+                        preferred_element_type=jnp.float32, precision=prec)
+                + b_ss[...])                                    # [B, S] f32
+
+        lc_t = lc_ref[pl.ds(i // ratio, 1)][0].astype(dtype)    # [B, C]
+
+        t = i
+
+        def layer_body(l, carry):
+            # 3 rotating weight slots keep 2 DMAs outstanding so the HBM
+            # stream never drains (the step is weight-streaming-bound).
+            # Slots follow the GLOBAL stream index i*L + l: the rotation
+            # phase must carry across sample boundaries when L % 3 != 0.
+            current, skip = carry
+            g = i * L + l
+            slot = jax.lax.rem(g, 3)
+            dma_a(l, slot).wait()
+            nxt = jax.lax.rem(l + 2, L)
+            nslot = jax.lax.rem(g + 2, 3)
+
+            @pl.when(jnp.logical_or(i < length - 1, l < L - 2))
+            def _():
+                dma_a(nxt, nslot).start()
+
+            d = dil_ref[l]
+            off = off_ref[l]
+            size = size_ref[l]
+            a = w512.at[slot]
+
+            pre = jnp.dot(current, a[(K - 1) * R:K * R, :2 * D],
+                          preferred_element_type=jnp.float32, precision=prec)
+            for j in range(1, K):
+                past = ring[pl.ds(off + jax.lax.rem(t - j * d + j * size,
+                                                    size), 1)][0]  # [B, R]
+                pre += jnp.dot(past.astype(dtype),
+                               a[(K - 1 - j) * R:(K - j) * R, :2 * D],
+                               preferred_element_type=jnp.float32, precision=prec)
+            pre += jnp.dot(lc_t, a[lay["off_lc"]:lay["off_lc"] + lc_channels,
+                                   :2 * D],
+                           preferred_element_type=jnp.float32, precision=prec)
+            pre += a[lay["off_bias"], :2 * D].astype(jnp.float32)
+            gated = (jnp.tanh(pre[:, :D])
+                     * jax.nn.sigmoid(pre[:, D:2 * D])).astype(dtype)
+            skip = skip + jnp.dot(gated, a[lay["off_skip"]:lay["off_skip"] + D,
+                                           :S],
+                                  preferred_element_type=jnp.float32, precision=prec) \
+                + a[lay["off_skip_bias"], :S].astype(jnp.float32)
+            # push this layer's input, then residual-update
+            ring[pl.ds(off + jax.lax.rem(t, size), 1)] = current[None]
+            res = res_ref[pl.ds(l, 1)][0]                    # [res_rows, R]
+            current = (current.astype(jnp.float32)
+                       + jnp.dot(gated, res[:D, :],
+                                 preferred_element_type=jnp.float32, precision=prec)
+                       + res[lay["off_res_bias"], :].astype(jnp.float32)
+                       ).astype(dtype)
+            return current, skip
+
+
+
+        assert L >= 4, "pallas generation requires at least 4 layers"
+        current, skip = lax.fori_loop(0, L, layer_body, (current, skip))
+
+        net = jax.nn.relu(skip).astype(dtype)
+        net = (jnp.dot(net, w_pp1[...], preferred_element_type=jnp.float32, precision=prec)
+               + jnp.dot(lc_t, w_pp1_lc[...],
+                         preferred_element_type=jnp.float32, precision=prec)
+               + b_pp1[...])
+        net = jax.nn.relu(net).astype(dtype)
+        logits = (jnp.dot(net, w_pp2[...],
+                          preferred_element_type=jnp.float32, precision=prec)
+                  + b_pp2[...])                                  # [B, Q] f32
+
+        if mode == "sample":
+            bits = pltpu.prng_random_bits((B, Q))
+            u = bits.astype(jnp.float32) * (1.0 / 4294967296.0) + 0.5
+            gumbel = -jnp.log(-jnp.log(jnp.clip(u, 1e-9, 1.0 - 1e-9)))
+            bins = jnp.argmax(logits + gumbel, axis=-1)
+        else:
+            bins = jnp.argmax(logits, axis=-1)
+
+        prev[0, :] = _mu_law_decode_f32(bins, Q)
+        # output blocks are (8, 128): 8 consecutive grid steps share a block
+        out_ref[jax.lax.rem(i, 8), :] = jnp.pad(bins.astype(jnp.int32),
+                                                (0, 128 - B))
+
+    return kernel, lay
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lc_channels", "length",
+                                             "mode", "dtype"))
+def _generate_pallas_jit(a, res, small, lc, seed, *, cfg: WavenetConfig,
+                         lc_channels: int, length: int, mode: str, dtype):
+    t_cond, batch, _ = lc.shape
+    offs, dils, sizes, total_p = _ring_tables(cfg)
+    kernel, lay = _make_kernel(cfg, lc_channels, batch, length, t_cond,
+                               mode, dtype)
+    PK = cfg.preprocess_kernel_size
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(length,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # a_hbm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # res (resident)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_pre
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_pre
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_ss
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_ss
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_pp1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_pp1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_pp1_lc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_pp2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_pp2
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3,) + a.shape[1:], a.dtype),
+            pltpu.VMEM((total_p, batch, cfg.residual_filters), dtype),
+            pltpu.VMEM((PK, batch), jnp.float32),
+            pltpu.VMEM((1, batch), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    bins = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((_round_up(length, 8), 128),
+                                       jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.asarray(offs), jnp.asarray(dils), jnp.asarray(sizes),
+      jnp.asarray([seed], jnp.int32),
+      a, res, lc, small["w_pre"], small["b_pre"], small["w_ss"], small["b_ss"],
+      small["w_pp1"], small["b_pp1"], small["w_pp1_lc"], small["w_pp2"],
+      small["b_pp2"])
+    return bins
+
+
+def generate_pallas(params, cfg: WavenetConfig, local_condition, *,
+                    length: int, seed: int = 0, mode: str = "sample",
+                    dtype=jnp.bfloat16):
+    """Whole-clip generation in one Pallas kernel.
+
+    local_condition: [B, T_cond, C].  Returns float waveform [B, length].
+    """
+    from vqvae_wavenet_tpu.ops.mu_law import mu_law_decode
+    b, t_cond, c = local_condition.shape
+    assert length % t_cond == 0
+    lc = jnp.transpose(local_condition, (1, 0, 2))  # [T_cond, B, C]
+    a, res, small = pack_gen_params(params, cfg, c, dtype)
+    bins = _generate_pallas_jit(a, res, small, lc, seed, cfg=cfg,
+                                lc_channels=c, length=length, mode=mode,
+                                dtype=dtype)[:length, :b]
+    return mu_law_decode(bins.T, cfg.quantization_channels)
