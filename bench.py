@@ -70,6 +70,25 @@ def main():
     base_time = time.perf_counter() - t0
     base_sps = n_base / base_time
 
+    # ---- training throughput: full shipped VQ-VAE config, batch 8 x 6656
+    from vqvae_wavenet_tpu.config import ModelConfig
+    from vqvae_wavenet_tpu.training.train_loop import (
+        init_train_state, make_jit_train_step)
+    mcfg = ModelConfig()
+    ts = init_train_state(jax.random.PRNGKey(3), mcfg, 109)
+    step = make_jit_train_step(mcfg)
+    bt, tt = 8, 6656
+    tx = jnp.zeros((bt, tt, 1), jnp.float32)
+    ty = jax.nn.one_hot(jnp.arange(bt) % 109, 109)[:, None, :]
+    tbatch = {"x": tx, "y": ty}
+    ts, m = step(ts, tbatch, None)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        ts, m = step(ts, tbatch, None)
+    jax.block_until_ready(m["loss"])
+    train_sps = 10 / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "gen_samples_per_sec_per_chip",
         "value": round(fast_sps, 2),
@@ -79,6 +98,7 @@ def main():
         "clip_seconds_equiv": round(fast_sps / 16000.0, 3),
         "batch": batch,
         "length": length,
+        "train_steps_per_sec_b8_len6656": round(train_sps, 3),
         "backend": jax.devices()[0].platform,
     }))
 

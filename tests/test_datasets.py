@@ -99,3 +99,17 @@ def test_prefetch_thread(vctk_root):
 def test_missing_manifest_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         VCTK(relative_path=str(tmp_path) + "/")
+
+
+def test_trim_silence():
+    from vqvae_wavenet_tpu.data.datasets import trim_silence
+    rng = np.random.default_rng(0)
+    speech = rng.uniform(-0.5, 0.5, 4000)
+    audio = np.concatenate([np.zeros(3000), speech, np.zeros(3000)])
+    out = trim_silence(audio)
+    # keeps the loud middle, drops most of the silence (frame-granular:
+    # boundary frames overlapping speech extend up to one frame each side)
+    assert 4000 <= len(out) <= 4000 + 2 * 2048
+    assert np.abs(out).max() > 0.4
+    # all-silent input -> empty (reference dataset.py:30-31 semantics)
+    assert trim_silence(np.zeros(5000)).size == 0

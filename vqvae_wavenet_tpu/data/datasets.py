@@ -82,6 +82,27 @@ def get_speaker_info(speaker_to_int: dict, info_path: str) -> dict:
     return speaker_info
 
 
+def trim_silence(audio: np.ndarray, threshold: float = 0.01,
+                 frame_length: int = 2048) -> np.ndarray:
+    """Remove leading/trailing silence by frame RMS energy — the reference's
+    librosa-based Dataset.trim_silence (dataset.py:23-31), in numpy (librosa
+    is unavailable in this image).  Returns empty audio if all silent."""
+    audio = np.asarray(audio)
+    if audio.size < frame_length:
+        frame_length = max(int(audio.size), 1)
+    hop = frame_length // 4 or 1
+    n_frames = 1 + max(audio.size - frame_length, 0) // hop
+    rms = np.asarray([
+        np.sqrt(np.mean(audio[i * hop:i * hop + frame_length] ** 2))
+        for i in range(n_frames)])
+    frames = np.nonzero(rms > threshold)[0]
+    if frames.size == 0:
+        return audio[0:0]
+    start = frames[0] * hop
+    end = min(frames[-1] * hop + frame_length, audio.size)
+    return audio[start:end]
+
+
 def read_wav_16k(path: str) -> np.ndarray:
     """Read a wav as float32 @16 kHz with the reference's int16
     normalization (dataset.py:41)."""
@@ -215,3 +236,15 @@ class Aishell(Dataset):
 
 
 DATASETS = {"VCTK": VCTK, "LibriSpeech": LibriSpeech, "Aishell": Aishell}
+
+
+if __name__ == "__main__":
+    # regenerate speaker map files from manifests (reference utils.py main)
+    import sys
+    root = sys.argv[1] if len(sys.argv) > 1 else "data/"
+    write_speaker_to_int(os.path.join(root, "vctk_train.txt"),
+                         os.path.join(root, "vctk_speakers.txt"),
+                         lambda s: s.split("/")[0])
+    write_speaker_to_int(os.path.join(root, "librispeech_train_clean_100.txt"),
+                         os.path.join(root, "librispeech_speakers.txt"),
+                         lambda s: s.split("/")[-1].split("-", 1)[0])

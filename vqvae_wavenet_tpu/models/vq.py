@@ -62,8 +62,10 @@ def quantize(params, z_e, *, mode: str = "st"):
     flat = z_e.reshape(-1, d)
     # fused Pallas distance+argmin on TPU (never materializes [N, k] in
     # HBM); jnp fallback elsewhere.  Gradients flow through the lookup and
-    # the ST estimator, never the argmin.
-    q_z_x = vq_nearest(jax.lax.stop_gradient(flat), embedding)
+    # the ST estimator, never the argmin — both search inputs are detached
+    # (the kernel is forward-only; autodiff would fail to linearize it).
+    q_z_x = vq_nearest(jax.lax.stop_gradient(flat),
+                       jax.lax.stop_gradient(embedding))
     e_k = jnp.take(embedding, q_z_x, axis=0).reshape(z_e.shape)
     q_z_x = q_z_x.reshape(z_e.shape[:-1])
     # mean over the full [N, k] distance set in closed form (for the
