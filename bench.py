@@ -104,4 +104,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # the TPU tunnel occasionally drops a request; one retry
+        import traceback
+        traceback.print_exc()
+        import sys
+        sys.stderr.write("bench: retrying once after transient failure\n")
+        main()

@@ -69,3 +69,43 @@ def test_magenta_optimizer():
     state = opt.init(params)
     updates, _ = opt.update({"w": jnp.ones(3)}, state, params)
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_magenta_fastgen_with_gc_matches_teacher_forcing(key):
+    """Per-layer biased global conditioning through the generation path must
+    match the training graph (the FastGenerationConfig guarantee)."""
+    import jax
+    from vqvae_wavenet_tpu.config import WavenetConfig
+    from vqvae_wavenet_tpu.models.wavenet import init_wavenet_params, wavenet_forward
+    from vqvae_wavenet_tpu.generation.fast import teacher_forced_stepper
+    cfg = WavenetConfig(quantization_channels=32, num_cycles=1,
+                        num_cycle_layers=3, dilation_rates=[1, 2, 4],
+                        kernel_size=2, dilation_filters=8, skip_filters=8,
+                        residual_filters=8, preprocess_kernel_size=2,
+                        preprocess_filters=8)
+    B, T, S, C, G = 1, 24, 3, 4, 5
+    params = init_wavenet_params(key, cfg, lc_channels=C, gc_channels=G)
+    params["layers"]["gc_bias"] = jnp.ones((3, 16))
+    params["postprocess1"]["gc_bias"] = jnp.ones((8,))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    lc = jax.random.normal(jax.random.PRNGKey(2), (B, S, C))
+    gc = jax.random.normal(jax.random.PRNGKey(3), (B, 1, G))
+    ref, _ = wavenet_forward(params, cfg, x, lc, gc,
+                             gate_order="sigmoid_first")
+    fast = teacher_forced_stepper(params, cfg, x, lc,
+                                  gate_order="sigmoid_first",
+                                  global_condition=gc)
+    np.testing.assert_allclose(np.asarray(ref).reshape(B, T, -1),
+                               np.asarray(fast), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_magenta_generate_e2e(key):
+    params = mg.init_magenta_params(key, num_speakers=4)
+    x = jax.random.uniform(key, (1, 128, 1), minval=-0.5, maxval=0.5)
+    gc = jax.nn.one_hot(jnp.ones((1, 1), jnp.int32), 4)
+    wav = mg.magenta_generate(params, x, gc, mode="greedy")
+    w = np.asarray(wav)
+    assert w.shape == (1, 128)
+    assert np.isfinite(w).all() and np.abs(w).max() <= 1.0

@@ -46,6 +46,13 @@ def parse_args(argv=None):
     parser.add_argument("-profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of steps 10-15 "
                              "into DIR (view with TensorBoard)")
+    # multi-slice / multi-host: DCN process group via jax.distributed
+    # (SURVEY.md §5 — the reference has no distributed backend at all)
+    parser.add_argument("-coordinator", default=None, metavar="HOST:PORT",
+                        help="jax.distributed coordinator address "
+                             "(multi-slice/multi-host training)")
+    parser.add_argument("-num_processes", default=None, type=int)
+    parser.add_argument("-process_id", default=None, type=int)
     return parser.parse_args(argv)
 
 
@@ -53,6 +60,11 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax
+    if args.coordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
     from vqvae_wavenet_tpu.config import ModelConfig
     from vqvae_wavenet_tpu.data.datasets import DATASETS
     from vqvae_wavenet_tpu.parallel.mesh import make_mesh, batch_sharding

@@ -157,7 +157,7 @@ def gen_step(params, cfg: WavenetConfig, state, x_t, lc_t=None, gc_t=None,
                                    "compute_dtype"))
 def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
                   length: int, mode: str, gate_order: str = "tanh_first",
-                  compute_dtype=jnp.float32):
+                  compute_dtype=jnp.float32, global_condition=None):
     b = local_condition.shape[0]
     t_cond = local_condition.shape[1]
     ratio = length // t_cond
@@ -167,6 +167,8 @@ def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
         params = jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype), params)
         local_condition = local_condition.astype(compute_dtype)
+    gc_t = (None if global_condition is None
+            else global_condition[:, 0, :].astype(compute_dtype))
     state0 = init_gen_state(cfg, b, dtype=compute_dtype)
     x0 = jnp.zeros((b, 1), compute_dtype)
 
@@ -174,7 +176,7 @@ def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
         state, x_t, key = carry
         lc_t = lax.dynamic_index_in_dim(
             local_condition, i // ratio, axis=1, keepdims=False)
-        logits, state = gen_step(params, cfg, state, x_t, lc_t,
+        logits, state = gen_step(params, cfg, state, x_t, lc_t, gc_t,
                                  gate_order=gate_order)
         key, sub = jax.random.split(key)
         logits = logits.astype(jnp.float32)
@@ -218,7 +220,8 @@ def _pallas_eligible(params, cfg: WavenetConfig, local_condition,
 
 def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
              key=None, mode: str = "sample", gate_order: str = "tanh_first",
-             compute_dtype=jnp.float32, engine: str = "auto"):
+             compute_dtype=jnp.float32, engine: str = "auto",
+             global_condition=None):
     """Autoregressive generation: ONE device program for the whole clip.
 
     Args:
@@ -243,24 +246,27 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
         "length must be a multiple of the conditioning frames "
         f"({local_condition.shape[1]})")
 
-    use_pallas = engine == "pallas" or (
+    use_pallas = global_condition is None and (engine == "pallas" or (
         engine == "auto" and compute_dtype == jnp.bfloat16
-        and _pallas_eligible(params, cfg, local_condition, gate_order))
+        and _pallas_eligible(params, cfg, local_condition, gate_order)))
     if use_pallas:
         from vqvae_wavenet_tpu.ops.gen_pallas import generate_pallas
         seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
         return generate_pallas(params, cfg, local_condition, length=length,
                                seed=seed, mode=mode, dtype=compute_dtype)
     return _generate_jit(params, cfg, local_condition, key, length, mode,
-                         gate_order, compute_dtype)
+                         gate_order, compute_dtype, global_condition)
 
 
 def teacher_forced_stepper(params, cfg: WavenetConfig, x, local_condition,
-                           gate_order: str = "tanh_first"):
+                           gate_order: str = "tanh_first",
+                           global_condition=None):
     """Drive gen_step with ground-truth audio (no sampling) and return the
     per-step logits [B, T, Q] — used to verify fast-gen == training graph."""
     b, t_len, _ = x.shape
     ratio = t_len // local_condition.shape[1]
+    gc_t = (None if global_condition is None
+            else global_condition[:, 0, :])
     state = init_gen_state(cfg, b)
     inputs = jnp.concatenate([jnp.zeros((b, 1, 1)), x[:, :-1, :]], axis=1)
 
@@ -268,7 +274,7 @@ def teacher_forced_stepper(params, cfg: WavenetConfig, x, local_condition,
         lc_t = lax.dynamic_index_in_dim(local_condition, i // ratio, axis=1,
                                         keepdims=False)
         logits, state = gen_step(params, cfg, state, inputs[:, i, :], lc_t,
-                                 gate_order=gate_order)
+                                 gc_t, gate_order=gate_order)
         return state, logits
 
     _, logits = lax.scan(body, state, jnp.arange(t_len, dtype=jnp.int32))

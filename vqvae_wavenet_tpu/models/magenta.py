@@ -187,3 +187,26 @@ def make_magenta_optimizer():
     from vqvae_wavenet_tpu.training.optimizer import piecewise_constant_schedule
     return optax.adam(piecewise_constant_schedule(MAGENTA_LR_SCHEDULE),
                       b1=0.5, b2=0.999)
+
+
+def magenta_generate(params, x_cond, gc_one_hot, *, length: int = None,
+                     key=None, mode: str = "sample"):
+    """End-to-end Magenta-variant generation (the reference's
+    FastGenerationConfig + Magenta/generate.py flow): encode the
+    conditioning wav once, then run the fast WaveNet with per-layer
+    local (e_k) and global (speaker) conditioning.
+
+    x_cond: [B, T, 1]; gc_one_hot: [B, 1, num_speakers].
+    Returns float waveform [B, length].
+    """
+    from vqvae_wavenet_tpu.generation.fast import generate
+    cfg = magenta_wavenet_config()
+    length = length or x_cond.shape[1]
+    z_e = magenta_encode(params["encoder"], x_cond)
+    q = vq_mod.quantize(params["vq"], z_e, mode="st")
+    encoding = q["e_k"]                 # config.py:278: decoder sees e_k
+    gc_idx = jnp.argmax(gc_one_hot, axis=-1)
+    gc = jnp.take(params["speaker_emb"], gc_idx, axis=0)  # [B, 1, 64]
+    return generate(params["decoder"], cfg, encoding, length=length,
+                    key=key, mode=mode, gate_order="sigmoid_first",
+                    global_condition=gc, engine="xla")
