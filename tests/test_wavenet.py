@@ -111,3 +111,21 @@ def test_grads_flow_everywhere(key):
     assert float(jnp.abs(grads["layers"]["kernel"]).max()) > 0
     assert float(jnp.abs(grads["layers"]["lc_kernel"]).max()) > 0
     assert float(jnp.abs(grads["postprocess2"]["kernel"]).max()) > 0
+
+
+def test_nonperiodic_dilations_fallback(key):
+    """A dilation list that is NOT cycle-periodic must use the traced-
+    dilation tap path and still match the generation stepper."""
+    from vqvae_wavenet_tpu.models.wavenet import _cycle_pattern
+    from vqvae_wavenet_tpu.generation.fast import teacher_forced_stepper
+    cfg = tiny_cfg(dilation_rates=[1, 2, 4, 4, 2, 1])  # palindrome: aperiodic
+    assert _cycle_pattern(cfg) is None
+    B, T, C = 1, 32, 4
+    params = init_wavenet_params(key, cfg, lc_channels=C)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    lc = jax.random.normal(jax.random.PRNGKey(2), (B, 4, C))
+    ref, _ = wavenet_forward(params, cfg, x, lc)
+    fast = teacher_forced_stepper(params, cfg, x, lc)
+    np.testing.assert_allclose(np.asarray(ref).reshape(B, T, -1),
+                               np.asarray(fast), rtol=1e-4, atol=1e-4)

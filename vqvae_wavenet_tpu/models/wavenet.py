@@ -103,6 +103,20 @@ def wavenet_forward(params, cfg: WavenetConfig, inputs,
     return net.reshape(-1, cfg.quantization_channels), labels
 
 
+def _cycle_pattern(cfg: WavenetConfig):
+    """If the dilation list is periodic with period num_cycle_layers (true
+    for the shipped config and the Magenta preset), return the per-cycle
+    pattern — enabling a scan over CYCLES whose body uses static-dilation
+    XLA convs (faster than the traced-dilation tap form: no max-dilation
+    padding, no dynamic slices)."""
+    p = cfg.num_cycle_layers
+    pattern = cfg.dilation_rates[:p]
+    for c in range(cfg.num_cycles):
+        if tuple(cfg.dilation_rates[c * p:(c + 1) * p]) != tuple(pattern):
+            return None
+    return pattern
+
+
 def wavenet_logits(params, cfg: WavenetConfig, inputs,
                    local_condition=None, global_condition=None,
                    *, gate_order: str = "tanh_first"):
@@ -127,12 +141,7 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
     has_lc = "lc_kernel" in lp and local_condition is not None
     has_gc = "gc_kernel" in lp and global_condition is not None
 
-    def layer_step(carry, xs):
-        net, skip = carry
-        p, d = xs
-        x_padded = jnp.pad(net, ((0, 0), (max_pad, 0), (0, 0)))
-        pre = dilated_conv_taps(x_padded, p["kernel"], p["bias"], d,
-                                seq_len=T, max_pad=max_pad)
+    def apply_layer(net, skip, p, pre):
         if has_lc:
             pre = add_condition(pre, local_condition, p["lc_kernel"])
         if has_gc:
@@ -147,9 +156,37 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
                                  preferred_element_type=jnp.float32) + p["skip_bias"]
         net = net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
                                preferred_element_type=jnp.float32) + p["res_bias"]
-        return (net, skip), None
+        return net, skip
 
-    (net, skip), _ = lax.scan(layer_step, (net, skip), (lp, dilations))
+    pattern = _cycle_pattern(cfg)
+    if pattern is not None:
+        # scan over cycles; the body unrolls one cycle of STATIC-dilation
+        # causal convs (no max-dilation pad, no dynamic slices)
+        P = cfg.num_cycle_layers
+        lp_cycles = jax.tree_util.tree_map(
+            lambda x: x.reshape((cfg.num_cycles, P) + x.shape[1:]), lp)
+
+        def cycle_step(carry, cycle_params):
+            net, skip = carry
+            for j, dil in enumerate(pattern):
+                p = jax.tree_util.tree_map(lambda x: x[j], cycle_params)
+                pre = causal_conv1d(net, p["kernel"], p["bias"],
+                                    dilation=int(dil))
+                net, skip = apply_layer(net, skip, p, pre)
+            return (net, skip), None
+
+        (net, skip), _ = lax.scan(cycle_step, (net, skip), lp_cycles)
+    else:
+        def layer_step(carry, xs):
+            net, skip = carry
+            p, d = xs
+            x_padded = jnp.pad(net, ((0, 0), (max_pad, 0), (0, 0)))
+            pre = dilated_conv_taps(x_padded, p["kernel"], p["bias"], d,
+                                    seq_len=T, max_pad=max_pad)
+            net, skip = apply_layer(net, skip, p, pre)
+            return (net, skip), None
+
+        (net, skip), _ = lax.scan(layer_step, (net, skip), (lp, dilations))
 
     net = jax.nn.relu(skip)
     pp1 = params["postprocess1"]
