@@ -25,7 +25,6 @@ def main():
     from vqvae_wavenet_tpu.models.wavenet import init_wavenet_params
     from vqvae_wavenet_tpu.generation.fast import (
         generate, gen_step, init_gen_state)
-    from vqvae_wavenet_tpu.ops.mu_law import mu_law_decode
 
     cfg = WavenetConfig()          # shipped 30-layer config
     batch = 1

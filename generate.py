@@ -74,7 +74,7 @@ def main(argv=None):
     from scipy.io import wavfile
     from vqvae_wavenet_tpu.config import ModelConfig
     from vqvae_wavenet_tpu.data.datasets import read_wav_16k
-    from vqvae_wavenet_tpu.models.vqvae import vqvae_encode, init_vqvae
+    from vqvae_wavenet_tpu.models.vqvae import vqvae_encode
     from vqvae_wavenet_tpu.generation.fast import generate
     from vqvae_wavenet_tpu.training.checkpoint import restore_checkpoint
     from vqvae_wavenet_tpu.training.train_loop import init_train_state

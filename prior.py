@@ -93,7 +93,6 @@ def main(argv=None):
     if args.sample > 0:
         # ---- sampling: prior codes -> codebook -> fast WaveNet decode
         from vqvae_wavenet_tpu.generation.fast import generate
-        from vqvae_wavenet_tpu.data.datasets import get_speaker_to_int
         from generate import speaker_one_hots
         from scipy.io import wavfile
 

@@ -10,7 +10,6 @@ jax.sharding.Mesh with the batch sharded on the 'data' axis; the host side
 only pumps prefetched numpy batches and writes metrics/checkpoints.
 """
 import argparse
-import json
 import os
 import sys
 import time
