@@ -125,3 +125,29 @@ def test_overfit_one_batch(key):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.7, losses[::20]
+
+
+def test_2019_encoder_joint_vq_assembly(key):
+    """BASELINE config #4: 2019 encoder + joint codebook training."""
+    cfg = tiny_model_cfg(encoder="2019", vq_mode="joint")
+    params, state = init_vqvae(key, cfg, num_speakers=3)
+    B, T = 1, 640  # 640 -> 4 mfcc frames -> 2 latent frames; 640/2=320/frame
+    x = jax.random.uniform(key, (B, T, 1), minval=-0.5, maxval=0.5)
+    y = jax.nn.one_hot(jnp.zeros((B,), jnp.int32), 3)[:, None, :]
+    (loss, aux), grads = jax.value_and_grad(
+        vqvae_forward, has_aux=True)(params, state, cfg, x, y, train=True)
+    assert np.isfinite(float(loss))
+    assert aux["z_e"].shape == (1, 2, 4)
+    # joint mode: the codebook receives reconstruction gradients
+    assert float(jnp.abs(grads["vq"]["embedding"]).max()) > 0
+
+
+def test_magenta_encoder_vqvae_assembly(key):
+    """BASELINE config #3: Magenta/nsynth ENCODER variant in the main
+    VQ-VAE (separate z_e / e_k training, default ST mode)."""
+    cfg = tiny_model_cfg(encoder="Magenta")
+    params, state = init_vqvae(key, cfg, num_speakers=3)
+    x, y = make_batch(key, T=128)
+    loss, aux = vqvae_forward(params, state, cfg, x, y, train=True)
+    assert np.isfinite(float(loss))
+    assert aux["z_e"].shape == (2, 2, 4)  # 128 / 64
