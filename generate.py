@@ -86,6 +86,12 @@ def main(argv=None):
     # truncate to a multiple of the largest dilation (generate.py:38-39)
     wav = wav[: len(wav) // 512 * 512]
     length = len(wav)
+    # pad up to a compile bucket: the generation program is specialized on
+    # length, so bucketing means a handful of compiles instead of one per
+    # distinct input file; the padded tail is cut after generation
+    bucket = 8192
+    padded = -(-length // bucket) * bucket
+    wav = np.pad(wav, (0, padded - length))
     x = np.tile(wav.reshape(1, -1, 1), (batch_size, 1, 1)).astype(np.float32)
 
     y, num_speakers = speaker_one_hots(args.speakers, args.data_path)
@@ -106,9 +112,9 @@ def main(argv=None):
                 np.asarray(params["speaker_embedding"]))
 
     lc, _codes = vqvae_encode(params, state, cfg, x, y)
-    audio = generate(params["decoder"], cfg.wavenet, lc, length=length,
+    audio = generate(params["decoder"], cfg.wavenet, lc, length=padded,
                      key=jax.random.PRNGKey(args.seed), mode=args.mode)
-    audio = np.asarray(audio)
+    audio = np.asarray(audio)[:, :length]
 
     for i, s in enumerate(args.speakers):
         s = "no_speaker" if s == "None" else s

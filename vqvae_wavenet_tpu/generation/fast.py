@@ -203,7 +203,7 @@ def _pallas_eligible(params, cfg: WavenetConfig, local_condition,
     a_cols = max(2 * cfg.dilation_filters, cfg.skip_filters)
     a_rows = (cfg.kernel_size * cfg.residual_filters + c
               + cfg.dilation_filters + 2)
-    slots_mb = 3 * a_rows * a_cols * 2 / 2 ** 20
+    slots_mb = 4 * a_rows * a_cols * 2 / 2 ** 20
     res_mb = (cfg.num_layers * (cfg.dilation_filters + 16)
               * cfg.residual_filters * 2 / 2 ** 20)
     return (jax.devices()[0].platform in ("tpu", "axon")

@@ -168,6 +168,7 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
             prev[...] = jnp.zeros_like(prev)
             dma_a(0, 0).start()
             dma_a(1, 1).start()
+            dma_a(2, 2).start()
 
         # ---- preprocess: mu-law encode prev sample, roll it into the window
         u_t = _mu_law_encode_f32(prev[0, :], Q)                 # [B]
@@ -188,18 +189,18 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
         t = i
 
         def layer_body(l, carry):
-            # 3 rotating weight slots keep 2 DMAs outstanding so the HBM
+            # 4 rotating weight slots keep 3 DMAs outstanding so the HBM
             # stream never drains (the step is weight-streaming-bound).
             # Slots follow the GLOBAL stream index i*L + l: the rotation
             # phase must carry across sample boundaries when L % 3 != 0.
             current, skip = carry
             g = i * L + l
-            slot = jax.lax.rem(g, 3)
+            slot = jax.lax.rem(g, 4)
             dma_a(l, slot).wait()
-            nxt = jax.lax.rem(l + 2, L)
-            nslot = jax.lax.rem(g + 2, 3)
+            nxt = jax.lax.rem(l + 3, L)
+            nslot = jax.lax.rem(g + 3, 4)
 
-            @pl.when(jnp.logical_or(i < length - 1, l < L - 2))
+            @pl.when(jnp.logical_or(i < length - 1, l < L - 3))
             def _():
                 dma_a(nxt, nslot).start()
 
@@ -297,11 +298,11 @@ def _generate_pallas_jit(a, res, small, lc, seed, *, cfg: WavenetConfig,
         out_specs=pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((3,) + a.shape[1:], a.dtype),
+            pltpu.VMEM((4,) + a.shape[1:], a.dtype),
             pltpu.VMEM((total_p, batch, cfg.residual_filters), dtype),
             pltpu.VMEM((PK, batch), jnp.float32),
             pltpu.VMEM((1, batch), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     bins = pl.pallas_call(
