@@ -33,8 +33,8 @@ def interpret_pallas(monkeypatch):
 def test_pack_layout(key):
     cfg = tiny_cfg()
     params = init_wavenet_params(key, cfg, lc_channels=128)
-    a, res, small = gen_pallas.pack_gen_params(params, cfg, 128,
-                                               dtype=jnp.float32)
+    a, res, scales, small = gen_pallas.pack_gen_params(params, cfg, 128,
+                                                       dtype=jnp.float32)
     lay = gen_pallas._layout(cfg, 128)
     assert a.shape == (4, lay["a_rows"], 128)
     # taps land in rows [0, K*R)
@@ -76,3 +76,34 @@ def test_pallas_batch2_greedy(key, interpret_pallas):
     got = np.asarray(gen_pallas.generate_pallas(
         params, cfg, lc, length=16, mode="greedy", dtype=jnp.float32))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_int8_pack_roundtrip(key):
+    """Per-row int8 quantization reconstructs weights to ~1% relative."""
+    cfg = tiny_cfg()
+    params = init_wavenet_params(key, cfg, lc_channels=128)
+    a, res, scales, small = gen_pallas.pack_gen_params(params, cfg, 128,
+                                                       dtype=jnp.int8)
+    assert a.dtype == jnp.int8
+    deq = np.asarray(a, np.float32) * np.asarray(scales)
+    orig = np.asarray(params["layers"]["kernel"][0].reshape(3 * 128, 128))
+    got = deq[0, :3 * 128, :128]
+    denom = np.abs(orig).max()
+    assert np.abs(got - orig).max() / denom < 0.01
+
+
+@pytest.mark.slow
+def test_int8_generation_close_to_f32(key, interpret_pallas):
+    """int8 weight streaming is lossy but must track the f32 trajectory
+    closely at the start (before AR divergence) and stay valid."""
+    cfg = tiny_cfg()
+    params = init_wavenet_params(key, cfg, lc_channels=128)
+    lc = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 128)) * 0.3
+    ref = np.asarray(gen_pallas.generate_pallas(
+        params, cfg, lc, length=16, mode="greedy", dtype=jnp.float32))
+    got = np.asarray(gen_pallas.generate_pallas(
+        params, cfg, lc, length=16, mode="greedy", dtype=jnp.int8))
+    assert got.shape == ref.shape
+    assert np.isfinite(got).all() and np.abs(got).max() <= 1.0
+    # early samples agree before quantization noise compounds
+    assert np.abs(got[:, :4] - ref[:, :4]).max() < 0.05

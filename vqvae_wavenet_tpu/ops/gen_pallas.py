@@ -69,8 +69,12 @@ def _layout(cfg: WavenetConfig, lc_channels: int):
 
 def pack_gen_params(params, cfg: WavenetConfig, lc_channels: int,
                     dtype=jnp.bfloat16):
-    """Pack the stacked layer params into the kernel's two HBM blocks plus
-    the small resident tensors."""
+    """Pack the stacked layer params into the kernel's streamed block plus
+    the small resident tensors.
+
+    dtype=jnp.int8 quantizes the streamed block per ROW (absmax/127 scale,
+    scales resident in VMEM): halves the per-step HBM traffic again vs
+    bf16 — an opt-in lossy mode for maximum generation throughput."""
     L = cfg.num_layers
     K = cfg.kernel_size
     D = cfg.dilation_filters
@@ -79,33 +83,46 @@ def pack_gen_params(params, cfg: WavenetConfig, lc_channels: int,
     lay = _layout(cfg, lc_channels)
     lp = params["layers"]
 
-    a = jnp.zeros((L, lay["a_rows"], lay["a_cols"]), dtype)
+    quantize_int8 = dtype == jnp.int8
+    pack_dtype = jnp.float32 if quantize_int8 else dtype
+    a = jnp.zeros((L, lay["a_rows"], lay["a_cols"]), pack_dtype)
     # taps: kernel [L, K, R, 2D] -> rows [K*R, 2D]
     a = a.at[:, :K * R, :2 * D].set(
-        lp["kernel"].reshape(L, K * R, 2 * D).astype(dtype))
+        lp["kernel"].reshape(L, K * R, 2 * D).astype(pack_dtype))
     a = a.at[:, lay["off_lc"]:lay["off_lc"] + lc_channels, :2 * D].set(
-        lp["lc_kernel"].astype(dtype))
+        lp["lc_kernel"].astype(pack_dtype))
     a = a.at[:, lay["off_skip"]:lay["off_skip"] + D, :S].set(
-        lp["skip_kernel"].astype(dtype))
-    a = a.at[:, lay["off_bias"], :2 * D].set(lp["bias"].astype(dtype))
-    a = a.at[:, lay["off_skip_bias"], :S].set(lp["skip_bias"].astype(dtype))
+        lp["skip_kernel"].astype(pack_dtype))
+    a = a.at[:, lay["off_bias"], :2 * D].set(lp["bias"].astype(pack_dtype))
+    a = a.at[:, lay["off_skip_bias"], :S].set(lp["skip_bias"].astype(pack_dtype))
 
-    res = jnp.zeros((L, lay["res_rows"], R), dtype)
-    res = res.at[:, :D, :].set(lp["res_kernel"].astype(dtype))
-    res = res.at[:, lay["off_res_bias"], :].set(lp["res_bias"].astype(dtype))
+    small_dtype = jnp.bfloat16 if quantize_int8 else dtype
+    res = jnp.zeros((L, lay["res_rows"], R), small_dtype)
+    res = res.at[:, :D, :].set(lp["res_kernel"].astype(small_dtype))
+    res = res.at[:, lay["off_res_bias"], :].set(
+        lp["res_bias"].astype(small_dtype))
 
+    if quantize_int8:
+        absmax = jnp.max(jnp.abs(a), axis=2, keepdims=True)      # [L, rows, 1]
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        a_q = jnp.clip(jnp.round(a / scale), -127, 127).astype(jnp.int8)
+        a, scales = a_q, scale.astype(jnp.float32)
+    else:
+        scales = jnp.zeros((L, lay["a_rows"], 1), jnp.float32)  # unused
+
+    sd = jnp.bfloat16 if quantize_int8 else dtype
     small = {
-        "w_pre": params["preprocess"]["kernel"][:, 0, :].astype(dtype),
-        "b_pre": params["preprocess"]["bias"].astype(dtype)[None, :],
-        "w_ss": params["skip_start"]["kernel"][0].astype(dtype),
-        "b_ss": params["skip_start"]["bias"].astype(dtype)[None, :],
-        "w_pp1": params["postprocess1"]["kernel"][0].astype(dtype),
-        "b_pp1": params["postprocess1"]["bias"].astype(dtype)[None, :],
-        "w_pp1_lc": params["postprocess1"]["lc_kernel"].astype(dtype),
-        "w_pp2": params["postprocess2"]["kernel"][0].astype(dtype),
-        "b_pp2": params["postprocess2"]["bias"].astype(dtype)[None, :],
+        "w_pre": params["preprocess"]["kernel"][:, 0, :].astype(sd),
+        "b_pre": params["preprocess"]["bias"].astype(sd)[None, :],
+        "w_ss": params["skip_start"]["kernel"][0].astype(sd),
+        "b_ss": params["skip_start"]["bias"].astype(sd)[None, :],
+        "w_pp1": params["postprocess1"]["kernel"][0].astype(sd),
+        "b_pp1": params["postprocess1"]["bias"].astype(sd)[None, :],
+        "w_pp1_lc": params["postprocess1"]["lc_kernel"].astype(sd),
+        "w_pp2": params["postprocess2"]["kernel"][0].astype(sd),
+        "b_pp2": params["postprocess2"]["bias"].astype(sd)[None, :],
     }
-    return a, res, small
+    return a, res, scales, small
 
 
 def _ring_tables(cfg: WavenetConfig):
@@ -143,16 +160,18 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
     ratio = length // t_cond
     lay = _layout(cfg, lc_channels)
     B = batch
+    quantized = dtype == jnp.int8
+    act_dtype = jnp.bfloat16 if quantized else dtype
     # f32 verification builds use exact accumulation; bf16 production dots
     # are single-pass on the MXU either way
     prec = (lax.Precision.HIGHEST if dtype == jnp.float32
             else lax.Precision.DEFAULT)
 
     def kernel(off_ref, dil_ref, size_ref, seed_ref,          # scalar prefetch
-               a_hbm, res_ref, lc_ref, w_pre, b_pre, w_ss, b_ss,
+               a_hbm, res_ref, scale_ref, lc_ref, w_pre, b_pre, w_ss, b_ss,
                w_pp1, b_pp1, w_pp1_lc, w_pp2, b_pp2,          # inputs
                out_ref,                                       # output
-               w512, ring, win, prev, sems):                  # scratch
+               w512, deq, ring, win, prev, sems):             # scratch
         i = pl.program_id(0)
 
         def dma_a(l, slot):
@@ -176,15 +195,15 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
         win[...] = w_shift
         win[PK - 1, :] = u_t
         current = (
-            lax.dot_general(win[...].astype(dtype), w_pre[...],
+            lax.dot_general(win[...].astype(act_dtype), w_pre[...],
                             dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32, precision=prec)
-            + b_pre[...]).astype(dtype)                         # [B, F=R]
+            + b_pre[...]).astype(act_dtype)                         # [B, F=R]
         skip = (jnp.dot(current, w_ss[...],
                         preferred_element_type=jnp.float32, precision=prec)
                 + b_ss[...])                                    # [B, S] f32
 
-        lc_t = lc_ref[pl.ds(i // ratio, 1)][0].astype(dtype)    # [B, C]
+        lc_t = lc_ref[pl.ds(i // ratio, 1)][0].astype(act_dtype)    # [B, C]
 
         t = i
 
@@ -207,14 +226,20 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
             d = dil_ref[l]
             off = off_ref[l]
             size = size_ref[l]
-            a = w512.at[slot]
+            if quantized:
+                # dequantize the whole slot once: int8 rows * per-row scale
+                deq[...] = (w512.at[slot][...].astype(jnp.bfloat16)
+                            * scale_ref[pl.ds(l, 1)][0].astype(jnp.bfloat16))
+                a = deq
+            else:
+                a = w512.at[slot]
 
             pre = jnp.dot(current, a[(K - 1) * R:K * R, :2 * D],
                           preferred_element_type=jnp.float32, precision=prec)
             for j in range(1, K):
                 past = ring[pl.ds(off + jax.lax.rem(t - j * d + j * size,
                                                     size), 1)][0]  # [B, R]
-                pre += jnp.dot(past.astype(dtype),
+                pre += jnp.dot(past.astype(act_dtype),
                                a[(K - 1 - j) * R:(K - j) * R, :2 * D],
                                preferred_element_type=jnp.float32, precision=prec)
             pre += jnp.dot(lc_t, a[lay["off_lc"]:lay["off_lc"] + lc_channels,
@@ -222,7 +247,7 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                            preferred_element_type=jnp.float32, precision=prec)
             pre += a[lay["off_bias"], :2 * D].astype(jnp.float32)
             gated = (jnp.tanh(pre[:, :D])
-                     * jax.nn.sigmoid(pre[:, D:2 * D])).astype(dtype)
+                     * jax.nn.sigmoid(pre[:, D:2 * D])).astype(act_dtype)
             skip = skip + jnp.dot(gated, a[lay["off_skip"]:lay["off_skip"] + D,
                                            :S],
                                   preferred_element_type=jnp.float32, precision=prec) \
@@ -234,7 +259,7 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                        + jnp.dot(gated, res[:D, :],
                                  preferred_element_type=jnp.float32, precision=prec)
                        + res[lay["off_res_bias"], :].astype(jnp.float32)
-                       ).astype(dtype)
+                       ).astype(act_dtype)
             return current, skip
 
 
@@ -242,12 +267,12 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
         assert L >= 4, "pallas generation requires at least 4 layers"
         current, skip = lax.fori_loop(0, L, layer_body, (current, skip))
 
-        net = jax.nn.relu(skip).astype(dtype)
+        net = jax.nn.relu(skip).astype(act_dtype)
         net = (jnp.dot(net, w_pp1[...], preferred_element_type=jnp.float32, precision=prec)
                + jnp.dot(lc_t, w_pp1_lc[...],
                          preferred_element_type=jnp.float32, precision=prec)
                + b_pp1[...])
-        net = jax.nn.relu(net).astype(dtype)
+        net = jax.nn.relu(net).astype(act_dtype)
         logits = (jnp.dot(net, w_pp2[...],
                           preferred_element_type=jnp.float32, precision=prec)
                   + b_pp2[...])                                  # [B, Q] f32
@@ -270,7 +295,7 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "lc_channels", "length",
                                              "mode", "dtype"))
-def _generate_pallas_jit(a, res, small, lc, seed, *, cfg: WavenetConfig,
+def _generate_pallas_jit(a, res, scales, small, lc, seed, *, cfg: WavenetConfig,
                          lc_channels: int, length: int, mode: str, dtype):
     t_cond, batch, _ = lc.shape
     offs, dils, sizes, total_p = _ring_tables(cfg)
@@ -284,6 +309,7 @@ def _generate_pallas_jit(a, res, small, lc, seed, *, cfg: WavenetConfig,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # a_hbm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # res (resident)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scales (resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lc
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_pre
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b_pre
@@ -299,7 +325,10 @@ def _generate_pallas_jit(a, res, small, lc, seed, *, cfg: WavenetConfig,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((4,) + a.shape[1:], a.dtype),
-            pltpu.VMEM((total_p, batch, cfg.residual_filters), dtype),
+            pltpu.VMEM(a.shape[1:],
+                       jnp.bfloat16 if dtype == jnp.int8 else a.dtype),
+            pltpu.VMEM((total_p, batch, cfg.residual_filters),
+                       jnp.bfloat16 if dtype == jnp.int8 else dtype),
             pltpu.VMEM((PK, batch), jnp.float32),
             pltpu.VMEM((1, batch), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -313,7 +342,8 @@ def _generate_pallas_jit(a, res, small, lc, seed, *, cfg: WavenetConfig,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.asarray(offs), jnp.asarray(dils), jnp.asarray(sizes),
       jnp.asarray([seed], jnp.int32),
-      a, res, lc, small["w_pre"], small["b_pre"], small["w_ss"], small["b_ss"],
+      a, res, scales, lc, small["w_pre"], small["b_pre"], small["w_ss"],
+      small["b_ss"],
       small["w_pp1"], small["b_pp1"], small["w_pp1_lc"], small["w_pp2"],
       small["b_pp2"])
     return bins
@@ -325,13 +355,16 @@ def generate_pallas(params, cfg: WavenetConfig, local_condition, *,
     """Whole-clip generation in one Pallas kernel.
 
     local_condition: [B, T_cond, C].  Returns float waveform [B, length].
+    dtype: float32 (exact verification) | bfloat16 (default) | int8
+    (per-row-quantized weight streaming: ~2x fewer HBM bytes per step,
+    slightly lossy — opt-in for maximum throughput).
     """
     from vqvae_wavenet_tpu.ops.mu_law import mu_law_decode
     b, t_cond, c = local_condition.shape
     assert length % t_cond == 0
     lc = jnp.transpose(local_condition, (1, 0, 2))  # [T_cond, B, C]
-    a, res, small = pack_gen_params(params, cfg, c, dtype)
-    bins = _generate_pallas_jit(a, res, small, lc, seed, cfg=cfg,
+    a, res, scales, small = pack_gen_params(params, cfg, c, dtype)
+    bins = _generate_pallas_jit(a, res, scales, small, lc, seed, cfg=cfg,
                                 lc_channels=c, length=length, mode=mode,
                                 dtype=dtype)[:length, :b]
     return mu_law_decode(bins.T, cfg.quantization_channels)
