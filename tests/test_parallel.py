@@ -119,3 +119,22 @@ def test_tp_step_runs_and_matches(key):
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_dryrun_driver_conditions():
+    """The driver imports __graft_entry__ and calls dryrun_multichip(8)
+    directly — no conftest, no pre-set XLA_FLAGS (MULTICHIP_r01 failed
+    because the function relied on the caller configuring the backend).
+    Reproduce those exact conditions in a clean subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr
+    assert "'data': 4, 'model': 2" in out.stdout, out.stdout
