@@ -130,6 +130,11 @@ class Dataset:
     data_dir: str
     split_func: Callable[[str], str]
     info_locations: tuple = ()
+    # optional manifest of corrupt/too-short files to exclude (the reference
+    # ships vctk_too_short.txt and relies on it because its crop crashes on
+    # short wavs, dataset.py:42-43; here short files pad, but the exclusion
+    # is still honored so regenerated manifests behave like upstream).
+    exclude_file: Optional[str] = None
 
     def __init__(self, batch_size: int = 1, max_len: int = 5120,
                  relative_path: str = "data/", seed: Optional[int] = None,
@@ -146,6 +151,14 @@ class Dataset:
         self.num_speakers = len(self.speaker_to_int)
         with open(manifest) as f:
             self.all_files = [l.strip() for l in f if l.strip()]
+        if self.exclude_file is not None:
+            try:
+                with open(self._find(self.exclude_file)) as f:
+                    excluded = {l.strip() for l in f if l.strip()}
+                self.all_files = [p for p in self.all_files
+                                  if p not in excluded]
+            except FileNotFoundError:
+                pass
         self._rng.shuffle(self.all_files)
         self._queue = None
 
@@ -225,6 +238,7 @@ class VCTK(Dataset):
     data_dir = "VCTK-Corpus/wav48/"
     split_func = staticmethod(lambda s: s.split("/")[0])
     info_locations = ("vctk_info",)
+    exclude_file = "vctk_too_short.txt"
 
 
 class Aishell(Dataset):
