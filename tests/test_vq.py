@@ -94,3 +94,42 @@ def test_normal_init(key):
     params = init_vq_params(key, k=512, latent_dim=64, init="normal")
     e = np.asarray(params["embedding"])
     assert abs(e.std() - 1.0) < 0.05
+
+
+def test_codebook_init_reachable_from_config(key):
+    """README.md:28-30's uniform-vs-normal init axis must be selectable via
+    ModelConfig (round-1 gap: vq.py had it, init_vqvae never passed it)."""
+    from vqvae_wavenet_tpu.config import ModelConfig, WavenetConfig
+    from vqvae_wavenet_tpu.models.vqvae import init_vqvae
+
+    wn = WavenetConfig(
+        quantization_channels=32, num_cycles=1, num_cycle_layers=2,
+        dilation_rates=[1, 2], kernel_size=2, dilation_filters=8,
+        skip_filters=8, residual_filters=8, preprocess_kernel_size=2,
+        preprocess_filters=8)
+    base = dict(encoder="64", use_vq=True, speaker_embedding=4, k=256,
+                latent_dim=64, beta=0.25, wavenet=wn)
+    p_unif, _ = init_vqvae(key, ModelConfig(**base), 4)
+    p_norm, _ = init_vqvae(key, ModelConfig(**base, codebook_init="normal"), 4)
+    e_u = np.asarray(p_unif["vq"]["embedding"])
+    e_n = np.asarray(p_norm["vq"]["embedding"])
+    # uniform_unit_scaling(1.7) is bounded; normal is not and has std ~ 1
+    assert abs(e_n.std() - 1.0) < 0.05
+    assert e_u.max() < 1.0  # bound = 1.7 * sqrt(3/64) ~ 0.37
+    assert not np.allclose(e_u, e_n)
+
+    # json plumb
+    import json, tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        wn_path = os.path.join(d, "wn.json")
+        with open(wn_path, "w") as f:
+            json.dump(wn.to_dict(), f)
+        mp = dict(encoder="64", use_vq=True, speaker_embedding=4, k=256,
+                  latent_dim=64, beta=0.25, wavenet_parameters=wn_path,
+                  learning_rate_schedule={"0": 1e-4},
+                  codebook_init="normal")
+        mp_path = os.path.join(d, "model.json")
+        with open(mp_path, "w") as f:
+            json.dump(mp, f)
+        cfg = ModelConfig.from_json(mp_path)
+        assert cfg.codebook_init == "normal"

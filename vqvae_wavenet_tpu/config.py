@@ -15,7 +15,8 @@ New optional keys (all default to reference behavior when absent):
   "ema_decay" (codebook EMA, default 0.99), "time_jitter" (bool, the dormant
   2019-paper conditioning ops, decoder_ops.py:5-28), "condition_upsample"
   (bool — conv_3_128 + UpSampling1D path, decoder.py:22-28), "encoder_norm"
-  ("batch" | "group", Encoder_64 normalization under pjit).
+  ("batch" | "group", Encoder_64 normalization under pjit), "codebook_init"
+  ("uniform_scaling" | "normal", the README.md:28-30 experiment axis).
 """
 from __future__ import annotations
 
@@ -126,11 +127,33 @@ class ModelConfig:
     time_jitter: bool = False    # decoder_ops.py:5-28 (dormant in reference)
     condition_upsample: bool = False  # decoder.py:22-28 (dormant in reference)
     encoder_norm: str = "batch"  # Encoder_64 BatchNorm vs GroupNorm under pjit
+    # codebook init: "uniform_scaling" (model.py:45-48) or "normal" — the
+    # documented experiment axis of reference README.md:28-30.
+    codebook_init: str = "uniform_scaling"
+    # "vqvae" (the main implementation) | "magenta" (the vendored 50-layer
+    # Magenta/nsynth variant, reference Magenta/config.py — hyperparams are
+    # module-level constants there, so the JSON needs no further keys).
+    model_family: str = "vqvae"
 
     @classmethod
     def from_json(cls, path: str) -> "ModelConfig":
         with open(path) as f:
             p = json.load(f)
+        if p.get("model_family") == "magenta":
+            # hyperparams are hardcoded in the reference (Magenta/config.py:
+            # 4-16, 145-152); only the LR schedule is overridable here
+            from vqvae_wavenet_tpu.models.magenta import (
+                magenta_wavenet_config, MAGENTA_LR_SCHEDULE)
+            return cls(
+                model_family="magenta", encoder="Magenta", k=512,
+                latent_dim=64, speaker_embedding=64, beta=0.25, use_vq=True,
+                wavenet=magenta_wavenet_config(),
+                learning_rate_schedule={
+                    int(s): float(v) for s, v in p.get(
+                        "learning_rate_schedule",
+                        {str(k): v for k, v in MAGENTA_LR_SCHEDULE.items()}
+                    ).items()},
+                verbose=p.get("verbose", False))
         wn_path = p["wavenet_parameters"]
         if not os.path.isabs(wn_path):
             candidate = os.path.join(os.path.dirname(os.path.abspath(path)), wn_path)
@@ -151,4 +174,5 @@ class ModelConfig:
             time_jitter=p.get("time_jitter", False),
             condition_upsample=p.get("condition_upsample", False),
             encoder_norm=p.get("encoder_norm", "batch"),
+            codebook_init=p.get("codebook_init", "uniform_scaling"),
         )

@@ -52,7 +52,8 @@ def init_vqvae(key, cfg: ModelConfig, num_speakers: Optional[int]):
     state = {"encoder": enc_state}
 
     if cfg.use_vq:
-        params["vq"] = vq_mod.init_vq_params(k_vq, cfg.k, cfg.latent_dim)
+        params["vq"] = vq_mod.init_vq_params(k_vq, cfg.k, cfg.latent_dim,
+                                             init=cfg.codebook_init)
         if cfg.vq_mode == "ema":
             state["vq"] = vq_mod.init_vq_state(params["vq"])
 
@@ -136,7 +137,8 @@ def vqvae_forward(params, state, cfg: ModelConfig, x, y, *, train: bool,
     if cfg.use_vq:
         q = vq_mod.quantize(params["vq"], z_e, mode=cfg.vq_mode)
         z_q, e_k = q["z_q"], q["e_k"]
-        aux.update(q_z_x=q["q_z_x"], perplexity=q["perplexity"], z_q=z_q)
+        aux.update(q_z_x=q["q_z_x"], perplexity=q["perplexity"], z_q=z_q,
+                   e_k=e_k, distances_mean=q["distances_mean"])
         if "vq" in state:
             aux["state"]["vq"] = state["vq"]
     else:
