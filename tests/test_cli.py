@@ -1,0 +1,144 @@
+"""CLI-level end-to-end tests: drive train.py / generate.py / visualise.py
+main() on a synthetic corpus, for both model families.
+
+These mirror the reference's user-facing flows (train.py:12-37,
+generate.py:14-31, Magenta/train.py:79-106, Magenta/generate.py:73-84) —
+round-1 gap: the Magenta family was Python-API-only, unreachable from any
+CLI.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Synthetic VCTK layout + tiny model config."""
+    root = tmp_path_factory.mktemp("cli_e2e")
+    data = root / "data" / "VCTK-Corpus"
+    rng = np.random.default_rng(0)
+    files = []
+    for spk, f0 in [("p225", 120.0), ("p226", 220.0)]:
+        d = data / "wav48" / spk
+        d.mkdir(parents=True)
+        for i in range(2):
+            t = np.arange(16000) / 16000.0
+            wav = (0.4 * np.sin(2 * np.pi * f0 * (1 + 0.1 * i) * t)
+                   + 0.05 * rng.standard_normal(16000))
+            wavfile.write(str(d / f"{spk}_{i:03d}.wav"), 16000,
+                          (wav * 32767).astype(np.int16))
+            files.append(f"{spk}/{spk}_{i:03d}.wav")
+
+    # a short clip for generation tests (keeps CPU scan length small)
+    t = np.arange(2048) / 16000.0
+    wavfile.write(str(data / "wav48" / "p226" / "p226_short.wav"), 16000,
+                  (0.4 * np.sin(2 * np.pi * 220.0 * t) * 32767).astype(np.int16))
+
+    info = root / "data" / "vctk_info"
+    info.mkdir()
+    (info / "vctk_train.txt").write_text("\n".join(files) + "\n")
+    speakers = ["p225", "p226"] + [f"p{300 + i}" for i in range(107)]
+    (info / "vctk_speakers.txt").write_text(
+        "".join(f"{s}, {i}\n" for i, s in enumerate(speakers)))
+    (info / "vctk_speaker_info.txt").write_text(
+        "ID  AGE  GENDER  ACCENTS  REGION\n"
+        + "".join(f"{s[1:]}  23  {'F' if i % 2 else 'M'}  English  Town\n"
+                  for i, s in enumerate(speakers)))
+
+    wn = {"verbose": False, "quantization_channels": 256, "num_cycles": 2,
+          "num_cycle_layers": 3, "dilation_rates": [1, 2, 4, 8, 16, 32],
+          "kernel_size": 2, "dilation_filters": 16, "skip_filters": 16,
+          "residual_filters": 16,
+          "preprocess": {"kernel_size": 4, "filters": 16}}
+    (root / "tiny_wavenet.json").write_text(json.dumps(wn))
+    mp = {"encoder": "64", "use_vq": True, "speaker_embedding": 8, "k": 16,
+          "latent_dim": 8, "beta": 0.25, "verbose": False,
+          "wavenet_parameters": str(root / "tiny_wavenet.json"),
+          "learning_rate_schedule": {"0": 1e-3}}
+    (root / "tiny_model.json").write_text(json.dumps(mp))
+    return root
+
+
+def test_train_generate_visualise_cli(corpus):
+    import train as train_cli
+    import generate as generate_cli
+    import visualise as visualise_cli
+
+    save = corpus / "saved_model"
+    train_cli.main([
+        "-dataset", "VCTK", "-length", "1024", "-batch", "2", "-step", "3",
+        "-interval", "2", "-save", str(save / "weights"),
+        "-params", str(corpus / "tiny_model.json"),
+        "-data", str(corpus / "data") + "/", "-ckpt_interval", "100"])
+    assert (save / "weights-3").is_dir()
+
+    wav_in = str(corpus / "data" / "VCTK-Corpus" / "wav48" / "p225"
+                 / "p225_000.wav")
+    generate_cli.main([
+        "-restore", str(save / "weights-3"), "-audio", wav_in,
+        "-speakers", "p225", "None", "-mode", "sample",
+        "-params", str(corpus / "tiny_model.json"),
+        "-data", str(corpus / "data") + "/"])
+    for name in ("3_p225.wav", "3_no_speaker.wav"):
+        sr, out = wavfile.read(str(save / name))
+        assert sr == 16000 and len(out) == 16000 // 512 * 512
+        assert np.all(np.abs(out) <= 1.0)
+    assert (save / "embedding_3.npy").exists()
+    assert (save / "speaker_embedding_3.npy").exists()
+
+    viz = corpus / "viz"
+    visualise_cli.main([
+        "-embedding", str(save / "embedding_3.npy"),
+        "-speaker", str(save / "speaker_embedding_3.npy"),
+        "-dataset", "VCTK", "-save", str(viz),
+        "-data", str(corpus / "data") + "/"])
+    meta = (viz / "speaker_embedding_3_meta.tsv").read_text().splitlines()
+    assert len(meta) == 109          # one row per speaker, no header
+    assert meta[0].count("#") >= 2   # gender/accent join (utils.py:103-116)
+
+
+def test_magenta_family_cli(corpus, monkeypatch):
+    """model_family='magenta' routes train.py through magenta_forward /
+    make_magenta_optimizer and generate.py through magenta_generate
+    (reference Magenta/train.py:79-106, Magenta/generate.py:73-84).
+
+    The module-level hyperparams are shrunk for CPU speed — the functions
+    read them at call time, so the full CLI routing is exercised; the
+    real 50-layer preset is validated end-to-end on TPU (PERF.md)."""
+    import train as train_cli
+    import generate as generate_cli
+    from vqvae_wavenet_tpu.models import magenta as mg
+
+    monkeypatch.setattr(mg, "NUM_LAYERS", 6)
+    monkeypatch.setattr(mg, "NUM_STAGES", 3)
+    monkeypatch.setattr(mg, "WIDTH", 16)
+    monkeypatch.setattr(mg, "SKIP_WIDTH", 16)
+    monkeypatch.setattr(mg, "AE_WIDTH", 16)
+    monkeypatch.setattr(mg, "AE_BOTTLENECK_WIDTH", 8)
+    monkeypatch.setattr(mg, "K_CODES", 16)
+
+    save = corpus / "magenta_model"
+    params = os.path.join(REPO, "magenta_parameters.json")
+    train_cli.main([
+        "-dataset", "VCTK", "-length", "1024", "-batch", "1", "-step", "2",
+        "-interval", "1", "-save", str(save / "weights"),
+        "-params", params, "-data", str(corpus / "data") + "/",
+        "-ckpt_interval", "100"])
+    assert (save / "weights-2").is_dir()
+
+    wav_in = str(corpus / "data" / "VCTK-Corpus" / "wav48" / "p226"
+                 / "p226_short.wav")
+    generate_cli.main([
+        "-restore", str(save / "weights-2"), "-audio", wav_in,
+        "-speakers", "p226", "-mode", "greedy",
+        "-params", params, "-data", str(corpus / "data") + "/"])
+    sr, out = wavfile.read(str(save / "2_p226.wav"))
+    assert sr == 16000 and len(out) == 2048
+    assert np.all(np.abs(out) <= 1.0)

@@ -182,15 +182,16 @@ def magenta_forward(params, x, gc_one_hot):
     }
 
 
-def make_magenta_optimizer():
+def make_magenta_optimizer(schedule: dict = None):
     """Adam(beta1=0.5) + the Magenta LR schedule (config.py:145-152, 415)."""
     from vqvae_wavenet_tpu.training.optimizer import piecewise_constant_schedule
-    return optax.adam(piecewise_constant_schedule(MAGENTA_LR_SCHEDULE),
+    return optax.adam(piecewise_constant_schedule(schedule or MAGENTA_LR_SCHEDULE),
                       b1=0.5, b2=0.999)
 
 
 def magenta_generate(params, x_cond, gc_one_hot, *, length: int = None,
-                     key=None, mode: str = "sample"):
+                     key=None, mode: str = "sample",
+                     compute_dtype=jnp.float32, engine: str = "auto"):
     """End-to-end Magenta-variant generation (the reference's
     FastGenerationConfig + Magenta/generate.py flow): encode the
     conditioning wav once, then run the fast WaveNet with per-layer
@@ -209,4 +210,5 @@ def magenta_generate(params, x_cond, gc_one_hot, *, length: int = None,
     gc = jnp.take(params["speaker_emb"], gc_idx, axis=0)  # [B, 1, 64]
     return generate(params["decoder"], cfg, encoding, length=length,
                     key=key, mode=mode, gate_order="sigmoid_first",
-                    global_condition=gc, engine="xla")
+                    global_condition=gc, compute_dtype=compute_dtype,
+                    engine=engine)

@@ -23,9 +23,20 @@ from vqvae_wavenet_tpu.training.optimizer import (
     make_optimizer, piecewise_constant_schedule, ema_update)
 
 
+def _family_optimizer(cfg: ModelConfig):
+    if cfg.model_family == "magenta":
+        from vqvae_wavenet_tpu.models.magenta import make_magenta_optimizer
+        return make_magenta_optimizer(cfg.learning_rate_schedule)
+    return make_optimizer(cfg.learning_rate_schedule)
+
+
 def init_train_state(key, cfg: ModelConfig, num_speakers: Optional[int]):
-    params, model_state = init_vqvae(key, cfg, num_speakers)
-    opt = make_optimizer(cfg.learning_rate_schedule)
+    if cfg.model_family == "magenta":
+        from vqvae_wavenet_tpu.models.magenta import init_magenta_params
+        params, model_state = init_magenta_params(key, num_speakers), {}
+    else:
+        params, model_state = init_vqvae(key, cfg, num_speakers)
+    opt = _family_optimizer(cfg)
     return {
         "params": params,
         # EMA shadows start equal to params but must be DISTINCT buffers:
@@ -39,22 +50,34 @@ def init_train_state(key, cfg: ModelConfig, num_speakers: Optional[int]):
 
 
 def train_step(ts, batch, rng=None, *, cfg: ModelConfig,
-               ema_decay: float = 0.999):
+               ema_decay: float = 0.999, with_summaries: bool = False):
     """One optimizer step.  batch = {'x': [B,T,1], 'y': [B,1,S] or None}.
     ``rng`` is only consumed by the optional time-jitter augmentation
-    (cfg.time_jitter); pass None otherwise."""
-    opt = make_optimizer(cfg.learning_rate_schedule)
+    (cfg.time_jitter); pass None otherwise.
 
-    def loss_fn(params):
-        loss, aux = vqvae_forward(params, ts["model_state"], cfg,
-                                  batch["x"], batch.get("y"), train=True,
-                                  rng=rng)
-        return loss, aux
+    with_summaries=True additionally returns the reference's TensorBoard
+    tensor set (model.py:28-69, 119-124) under metrics['summaries']: z_e,
+    q(z|x), e_k, a subsampled distance matrix, the raw gradients (per-layer
+    histograms) and the gradient global norm.  Compiled as a second program
+    and invoked only every `interval` steps, so the hot step stays lean."""
+    opt = _family_optimizer(cfg)
+
+    if cfg.model_family == "magenta":
+        from vqvae_wavenet_tpu.models.magenta import magenta_forward
+
+        def loss_fn(params):
+            return magenta_forward(params, batch["x"], batch.get("y"))
+    else:
+        def loss_fn(params):
+            loss, aux = vqvae_forward(params, ts["model_state"], cfg,
+                                      batch["x"], batch.get("y"), train=True,
+                                      rng=rng)
+            return loss, aux
 
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts["params"])
     updates, opt_state = opt.update(grads, ts["opt_state"], ts["params"])
     params = optax.apply_updates(ts["params"], updates)
-    model_state = aux["state"]
+    model_state = aux.get("state", ts["model_state"])
 
     if cfg.use_vq and cfg.vq_mode == "ema":
         new_vq, new_vq_state = vq_mod.ema_codebook_update(
@@ -78,19 +101,42 @@ def train_step(ts, batch, rng=None, *, cfg: ModelConfig,
         "lr": lr,
         "step": step,
     }
-    for k in ("vq_loss", "commitment_loss", "perplexity"):
+    for k in ("vq_loss", "commitment_loss", "perplexity", "reg_loss",
+              "distances_mean"):
         if k in aux:
             metrics[k] = aux[k]
+
+    if with_summaries:
+        summ = {"z_e": aux["z_e"],
+                "grads": grads,
+                "grad_norm": optax.global_norm(grads)}
+        if "q_z_x" in aux:
+            summ["q_z_x"] = aux["q_z_x"]
+        e_k = aux.get("e_k", aux.get("encoding"))
+        if e_k is not None:
+            summ["e_k"] = e_k
+        if cfg.use_vq and "vq" in ts["params"]:
+            # subsampled full distance matrix for the reference's
+            # 'distances' histogram (model.py:62) — the training forward
+            # never materializes [N, k] (Pallas kernel), so build it here
+            # from the first rows only
+            emb = ts["params"]["vq"]["embedding"]
+            flat = aux["z_e"].reshape(-1, emb.shape[1])[:1024]
+            summ["distances"] = (jnp.sum(flat ** 2, -1, keepdims=True)
+                                 - 2.0 * flat @ emb.T
+                                 + jnp.sum(emb ** 2, -1)[None, :])
+        metrics["summaries"] = summ
     return new_ts, metrics
 
 
-def make_jit_train_step(cfg: ModelConfig, mesh=None, donate: bool = True):
+def make_jit_train_step(cfg: ModelConfig, mesh=None, donate: bool = True,
+                        with_summaries: bool = False):
     """Close over the config and jit.  With a mesh, inputs get sharding
     constraints: batch over 'data', train state per TP rules.
 
     Donation requires every train-state leaf to be a DISTINCT buffer —
     init_train_state deep-copies the EMA shadows for exactly this reason."""
-    step_fn = partial(train_step, cfg=cfg)
+    step_fn = partial(train_step, cfg=cfg, with_summaries=with_summaries)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
