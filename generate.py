@@ -34,6 +34,15 @@ def parse_args(argv=None):
     parser.add_argument("-data", default="data/", dest="data_path",
                         metavar="str", help="dataset root (speaker files)")
     parser.add_argument("-seed", default=0, type=int, help="sampling PRNG seed")
+    parser.add_argument("-dtype", default=None, dest="dtype",
+                        choices=["f32", "bf16", "int8"],
+                        help="generation compute dtype (default: bf16 on "
+                             "TPU, f32 elsewhere; int8 = quantized weight "
+                             "streaming, Pallas engine only)")
+    parser.add_argument("-engine", default="auto", dest="engine",
+                        choices=["auto", "xla", "pallas"],
+                        help="generation engine: fused Pallas kernel vs XLA "
+                             "scan ('auto' picks Pallas when eligible)")
     return parser.parse_args(argv)
 
 
@@ -88,8 +97,9 @@ def main(argv=None):
     length = len(wav)
     # pad up to a compile bucket: the generation program is specialized on
     # length, so bucketing means a handful of compiles instead of one per
-    # distinct input file; the padded tail is cut after generation
-    bucket = 8192
+    # distinct input file; the padded tail is cut after generation.  Short
+    # clips bucket at 1024 so they don't pay for an 8192-sample program.
+    bucket = 8192 if length > 4096 else 1024
     padded = -(-length // bucket) * bucket
     wav = np.pad(wav, (0, padded - length))
     x = np.tile(wav.reshape(1, -1, 1), (batch_size, 1, 1)).astype(np.float32)
@@ -99,7 +109,10 @@ def main(argv=None):
     cfg = ModelConfig.from_json(args.parameter_path)
     ts = init_train_state(jax.random.PRNGKey(0), cfg, num_speakers)
     ts = restore_checkpoint(args.restore_path, ts)
-    params = ts["ema_params"]          # EMA shadows at inference
+    if cfg.model_family == "magenta":
+        params = ts["params"]   # Magenta/generate.py restores raw variables
+    else:
+        params = ts["ema_params"]          # EMA shadows at inference
     state = ts["model_state"]
 
     save_path = args.restore_path.split("/weights")[0]
@@ -107,13 +120,34 @@ def main(argv=None):
     if cfg.use_vq:
         np.save(os.path.join(save_path, f"embedding_{gs}.npy"),
                 np.asarray(params["vq"]["embedding"]))
-    if cfg.speaker_embedding > 0:
+    spk_key = ("speaker_emb" if cfg.model_family == "magenta"
+               else "speaker_embedding")
+    if cfg.speaker_embedding > 0 and spk_key in params:
         np.save(os.path.join(save_path, f"speaker_embedding_{gs}.npy"),
-                np.asarray(params["speaker_embedding"]))
+                np.asarray(params[spk_key]))
 
-    lc, _codes = vqvae_encode(params, state, cfg, x, y)
-    audio = generate(params["decoder"], cfg.wavenet, lc, length=padded,
-                     key=jax.random.PRNGKey(args.seed), mode=args.mode)
+    # compute dtype: default bf16 on TPU (the benchmarked fast path), f32
+    # elsewhere; 'auto' engine dispatches to the fused Pallas kernel when
+    # the model/batch is eligible (generation/fast.py:_pallas_eligible)
+    import jax.numpy as jnp
+    if args.dtype is None:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    else:
+        compute_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                         "int8": jnp.int8}[args.dtype]
+
+    if cfg.model_family == "magenta":
+        from vqvae_wavenet_tpu.models.magenta import magenta_generate
+        audio = magenta_generate(params, x, y, length=padded,
+                                 key=jax.random.PRNGKey(args.seed),
+                                 mode=args.mode, compute_dtype=compute_dtype,
+                                 engine=args.engine)
+    else:
+        lc, _codes = vqvae_encode(params, state, cfg, x, y)
+        audio = generate(params["decoder"], cfg.wavenet, lc, length=padded,
+                         key=jax.random.PRNGKey(args.seed), mode=args.mode,
+                         compute_dtype=compute_dtype, engine=args.engine)
     audio = np.asarray(audio)[:, :length]
 
     for i, s in enumerate(args.speakers):

@@ -194,10 +194,10 @@ def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
     return samples.T  # [B, length]
 
 
-def _pallas_eligible(params, cfg: WavenetConfig, local_condition,
-                     gate_order: str) -> bool:
+def _pallas_eligible(params, cfg: WavenetConfig, local_condition) -> bool:
     b, _, c = local_condition.shape
-    # VMEM budget (bf16): ring + resident res matrices + 3 weight slots
+    # VMEM budget (bf16): ring + resident res matrices + 4 weight slots +
+    # the per-layer gc block; ~128MB VMEM per v5e core, cap well below
     ring_rows = (cfg.kernel_size - 1) * sum(cfg.dilation_rates)
     ring_mb = ring_rows * b * cfg.residual_filters * 2 / 2 ** 20
     a_cols = max(2 * cfg.dilation_filters, cfg.skip_filters)
@@ -206,16 +206,16 @@ def _pallas_eligible(params, cfg: WavenetConfig, local_condition,
     slots_mb = 4 * a_rows * a_cols * 2 / 2 ** 20
     res_mb = (cfg.num_layers * (cfg.dilation_filters + 16)
               * cfg.residual_filters * 2 / 2 ** 20)
+    gcon_mb = (cfg.num_layers * max(b, 8) * 2 * cfg.dilation_filters
+               * 2 / 2 ** 20)
     return (jax.devices()[0].platform in ("tpu", "axon")
-            and gate_order == "tanh_first"
-            and "gc_bias" not in params["layers"]
             and "lc_kernel" in params["layers"]
             and cfg.num_layers >= 4
             and cfg.residual_filters % 128 == 0
             and cfg.dilation_filters * 2 % 128 == 0
             and cfg.skip_filters % 128 == 0
             and cfg.quantization_channels % 128 == 0
-            and ring_mb + slots_mb + res_mb <= 12.0)
+            and ring_mb + slots_mb + res_mb + gcon_mb <= 64.0)
 
 
 def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
@@ -230,11 +230,14 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
         generate.py:108-113.
       length: number of samples; must be a multiple of T_cond.
       mode: 'sample' | 'greedy' (utils.py:30-46 semantics, on device).
-      compute_dtype: jnp.float32 | jnp.bfloat16 (weights+activations;
-        sampling always in f32).
+      compute_dtype: jnp.float32 | jnp.bfloat16 | jnp.int8 (weights [+
+        activations]; sampling always in f32).  int8 = per-row-quantized
+        weight streaming, Pallas engine only — falls back to a bf16 XLA
+        scan when the kernel is ineligible.
       engine: 'auto' | 'xla' | 'pallas'.  'pallas' = the fused whole-clip
         kernel (ops/gen_pallas.py) — TPU only, small batch, 128-aligned
-        channels; 'auto' picks it when eligible and compute_dtype is bf16.
+        channels; 'auto' picks it when eligible and compute_dtype is
+        bf16/int8.
     Returns:
       float waveform [B, length] in [-1, 1].
     """
@@ -246,14 +249,18 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
         "length must be a multiple of the conditioning frames "
         f"({local_condition.shape[1]})")
 
-    use_pallas = global_condition is None and (engine == "pallas" or (
-        engine == "auto" and compute_dtype == jnp.bfloat16
-        and _pallas_eligible(params, cfg, local_condition, gate_order)))
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and compute_dtype in (jnp.bfloat16, jnp.int8)
+        and _pallas_eligible(params, cfg, local_condition))
     if use_pallas:
         from vqvae_wavenet_tpu.ops.gen_pallas import generate_pallas
         seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
         return generate_pallas(params, cfg, local_condition, length=length,
-                               seed=seed, mode=mode, dtype=compute_dtype)
+                               seed=seed, mode=mode, dtype=compute_dtype,
+                               gate_order=gate_order,
+                               global_condition=global_condition)
+    if compute_dtype == jnp.int8:
+        compute_dtype = jnp.bfloat16  # the XLA scan has no int8 path
     return _generate_jit(params, cfg, local_condition, key, length, mode,
                          gate_order, compute_dtype, global_condition)
 
