@@ -93,6 +93,35 @@ def test_int8_pack_roundtrip(key):
 
 
 @pytest.mark.slow
+def test_pallas_gc_sigmoid_first_matches_xla(key, interpret_pallas):
+    """Round-2 extension: per-layer global conditioning (the Magenta
+    'add_gc' path, Magenta/config.py:178-192) + sigmoid_first gate order
+    through the fused kernel must match the XLA scan exactly (greedy)."""
+    cfg = tiny_cfg()
+    B, T_COND, C, GC, LEN = 1, 4, 128, 64, 24
+    params = init_wavenet_params(key, cfg, lc_channels=C, gc_channels=GC)
+    # give the gc path biases like the Magenta preset has
+    L = cfg.num_layers
+    params["layers"]["gc_bias"] = jnp.ones((L, 2 * cfg.dilation_filters))
+    params["postprocess1"]["gc_bias"] = jnp.ones((cfg.skip_filters,))
+    lc = jax.random.normal(jax.random.PRNGKey(1), (B, T_COND, C)) * 0.3
+    gc = jax.random.normal(jax.random.PRNGKey(2), (B, 1, GC)) * 0.3
+
+    ref = np.asarray(fast.generate(params, cfg, lc, length=LEN,
+                                   mode="greedy", gate_order="sigmoid_first",
+                                   global_condition=gc, engine="xla"))
+    got = np.asarray(gen_pallas.generate_pallas(
+        params, cfg, lc, length=LEN, mode="greedy", dtype=jnp.float32,
+        gate_order="sigmoid_first", global_condition=gc))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    # and the gc must actually matter (zero-gc differs)
+    got0 = np.asarray(gen_pallas.generate_pallas(
+        params, cfg, lc, length=LEN, mode="greedy", dtype=jnp.float32,
+        gate_order="sigmoid_first", global_condition=None))
+    assert not np.allclose(got0, ref)
+
+
+@pytest.mark.slow
 def test_int8_generation_close_to_f32(key, interpret_pallas):
     """int8 weight streaming is lossy but must track the f32 trajectory
     closely at the start (before AR divergence) and stay valid."""

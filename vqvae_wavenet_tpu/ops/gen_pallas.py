@@ -149,7 +149,8 @@ def _mu_law_decode_f32(bins, q):
 
 
 def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
-                 length: int, t_cond: int, mode: str, dtype):
+                 length: int, t_cond: int, mode: str, dtype,
+                 gate_order: str = "tanh_first"):
     L = cfg.num_layers
     K = cfg.kernel_size
     D = cfg.dilation_filters
@@ -169,7 +170,8 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
 
     def kernel(off_ref, dil_ref, size_ref, seed_ref,          # scalar prefetch
                a_hbm, res_ref, scale_ref, lc_ref, w_pre, b_pre, w_ss, b_ss,
-               w_pp1, b_pp1, w_pp1_lc, w_pp2, b_pp2,          # inputs
+               w_pp1, b_pp1, w_pp1_lc, w_pp2, b_pp2,
+               gcon_ref, g_pp1_ref,                           # inputs
                out_ref,                                       # output
                w512, deq, ring, win, prev, sems):             # scratch
         i = pl.program_id(0)
@@ -246,8 +248,16 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                                    :2 * D],
                            preferred_element_type=jnp.float32, precision=prec)
             pre += a[lay["off_bias"], :2 * D].astype(jnp.float32)
-            gated = (jnp.tanh(pre[:, :D])
-                     * jax.nn.sigmoid(pre[:, D:2 * D])).astype(act_dtype)
+            # per-layer global-condition contribution, precomputed at pack
+            # time (gc is constant over the clip — 'add_gc',
+            # Magenta/config.py:178-192): one [B, 2D] add per layer
+            pre += gcon_ref[pl.ds(l, 1)][0].astype(jnp.float32)
+            if gate_order == "tanh_first":
+                gated = (jnp.tanh(pre[:, :D])
+                         * jax.nn.sigmoid(pre[:, D:2 * D])).astype(act_dtype)
+            else:   # sigmoid_first — Magenta/config.py:345-348
+                gated = (jax.nn.sigmoid(pre[:, :D])
+                         * jnp.tanh(pre[:, D:2 * D])).astype(act_dtype)
             skip = skip + jnp.dot(gated, a[lay["off_skip"]:lay["off_skip"] + D,
                                            :S],
                                   preferred_element_type=jnp.float32, precision=prec) \
@@ -271,7 +281,8 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
         net = (jnp.dot(net, w_pp1[...], preferred_element_type=jnp.float32, precision=prec)
                + jnp.dot(lc_t, w_pp1_lc[...],
                          preferred_element_type=jnp.float32, precision=prec)
-               + b_pp1[...])
+               + b_pp1[...]
+               + g_pp1_ref[...].astype(jnp.float32))  # postprocess1 gc term
         net = jax.nn.relu(net).astype(act_dtype)
         logits = (jnp.dot(net, w_pp2[...],
                           preferred_element_type=jnp.float32, precision=prec)
@@ -294,13 +305,14 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "lc_channels", "length",
-                                             "mode", "dtype"))
-def _generate_pallas_jit(a, res, scales, small, lc, seed, *, cfg: WavenetConfig,
-                         lc_channels: int, length: int, mode: str, dtype):
+                                             "mode", "dtype", "gate_order"))
+def _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1, seed, *,
+                         cfg: WavenetConfig, lc_channels: int, length: int,
+                         mode: str, dtype, gate_order: str = "tanh_first"):
     t_cond, batch, _ = lc.shape
     offs, dils, sizes, total_p = _ring_tables(cfg)
     kernel, lay = _make_kernel(cfg, lc_channels, batch, length, t_cond,
-                               mode, dtype)
+                               mode, dtype, gate_order)
     PK = cfg.preprocess_kernel_size
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -320,6 +332,8 @@ def _generate_pallas_jit(a, res, scales, small, lc, seed, *, cfg: WavenetConfig,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_pp1_lc
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_pp2
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b_pp2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gcon [L, B, 2D]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # g_pp1 [B, S]
         ],
         out_specs=pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
                                memory_space=pltpu.VMEM),
@@ -345,26 +359,53 @@ def _generate_pallas_jit(a, res, scales, small, lc, seed, *, cfg: WavenetConfig,
       a, res, scales, lc, small["w_pre"], small["b_pre"], small["w_ss"],
       small["b_ss"],
       small["w_pp1"], small["b_pp1"], small["w_pp1_lc"], small["w_pp2"],
-      small["b_pp2"])
+      small["b_pp2"], gcon, g_pp1)
     return bins
 
 
 def generate_pallas(params, cfg: WavenetConfig, local_condition, *,
                     length: int, seed: int = 0, mode: str = "sample",
-                    dtype=jnp.bfloat16):
+                    dtype=jnp.bfloat16, gate_order: str = "tanh_first",
+                    global_condition=None):
     """Whole-clip generation in one Pallas kernel.
 
     local_condition: [B, T_cond, C].  Returns float waveform [B, length].
     dtype: float32 (exact verification) | bfloat16 (default) | int8
     (per-row-quantized weight streaming: ~2x fewer HBM bytes per step,
     slightly lossy — opt-in for maximum throughput).
+    global_condition: [B, 1, C_gc] or None.  gc is constant per clip, so
+    its per-layer 1x1 contributions (+ biases) are precomputed host-side
+    into a resident [L, B, 2D] block added inside the layer loop — no
+    extra per-step HBM traffic.
     """
     from vqvae_wavenet_tpu.ops.mu_law import mu_law_decode
     b, t_cond, c = local_condition.shape
     assert length % t_cond == 0
     lc = jnp.transpose(local_condition, (1, 0, 2))  # [T_cond, B, C]
     a, res, scales, small = pack_gen_params(params, cfg, c, dtype)
-    bins = _generate_pallas_jit(a, res, scales, small, lc, seed, cfg=cfg,
-                                lc_channels=c, length=length, mode=mode,
-                                dtype=dtype)[:length, :b]
+
+    L, D, S = cfg.num_layers, cfg.dilation_filters, cfg.skip_filters
+    cdt = jnp.bfloat16 if dtype == jnp.int8 else dtype
+    lp = params["layers"]
+    if global_condition is not None and "gc_kernel" in lp:
+        gvec = global_condition[:, 0, :].astype(jnp.float32)     # [B, C_gc]
+        gcon = jnp.einsum("bc,lcd->lbd", gvec,
+                          lp["gc_kernel"].astype(jnp.float32))
+        if "gc_bias" in lp:
+            gcon = gcon + lp["gc_bias"].astype(jnp.float32)[:, None, :]
+        pp1 = params["postprocess1"]
+        g_pp1 = jnp.zeros((b, S), jnp.float32)
+        if "gc_kernel" in pp1:
+            g_pp1 = gvec @ pp1["gc_kernel"].astype(jnp.float32)
+            if "gc_bias" in pp1:
+                g_pp1 = g_pp1 + pp1["gc_bias"].astype(jnp.float32)
+        gcon, g_pp1 = gcon.astype(cdt), g_pp1.astype(cdt)
+    else:
+        gcon = jnp.zeros((L, b, 2 * D), cdt)
+        g_pp1 = jnp.zeros((b, S), cdt)
+
+    bins = _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1,
+                                seed, cfg=cfg, lc_channels=c, length=length,
+                                mode=mode, dtype=dtype,
+                                gate_order=gate_order)[:length, :b]
     return mu_law_decode(bins.T, cfg.quantization_channels)
