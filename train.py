@@ -71,7 +71,8 @@ def main(argv=None):
         init_train_state, make_jit_train_step)
     from vqvae_wavenet_tpu.training.checkpoint import (
         save_checkpoint, restore_checkpoint)
-    from vqvae_wavenet_tpu.training.metrics import MetricWriter, display_time
+    from vqvae_wavenet_tpu.training.metrics import (
+        MetricWriter, display_time, summary_histograms)
 
     if args.dataset not in DATASETS:
         raise NotImplementedError(f"dataset {args.dataset} not implemented")
@@ -83,10 +84,12 @@ def main(argv=None):
     if cfg.verbose:
         print("wavenet receptive_field:", cfg.wavenet.receptive_field)
 
-    # data-parallel over as many devices as divide the batch
+    # data-parallel over as many devices as divide the (global) batch;
+    # -batch is per-process, so multi-host runs scale it by process count
     import math
     n_dev = len(jax.devices())
-    num_data = math.gcd(args.batch_size, n_dev)
+    global_batch = args.batch_size * jax.process_count()
+    num_data = math.gcd(global_batch, n_dev)
     mesh = make_mesh(num_data=num_data, num_model=1,
                      devices=jax.devices()[:num_data])
     key = jax.random.PRNGKey(0)
@@ -104,8 +107,21 @@ def main(argv=None):
     os.makedirs(save_dir, exist_ok=True)
     writer = MetricWriter(save_dir)
 
-    step_fn = make_jit_train_step(cfg, mesh=None)
+    # the mesh-aware jit path: batch sharded over 'data', params per the
+    # TP rules in parallel/mesh.py (replicated at num_model=1)
+    step_fn = make_jit_train_step(cfg, mesh=mesh)(ts)
+    summary_fn = make_jit_train_step(cfg, mesh=mesh, with_summaries=True)(ts)
     x_sharding = batch_sharding(mesh)
+
+    if jax.process_count() > 1:
+        # multi-host: each process contributes its local shard of the
+        # global batch (the reference is single-process; SURVEY.md §2c)
+        def put_batch(b):
+            return {k: jax.make_array_from_process_local_data(x_sharding, v)
+                    for k, v in b.items()}
+    else:
+        def put_batch(b):
+            return {k: jax.device_put(v, x_sharding) for k, v in b.items()}
 
     for step in range(1, 1 + args.num_steps):
         if args.profile and step == 10:
@@ -115,24 +131,20 @@ def main(argv=None):
             jax.profiler.stop_trace()
             print(f"\n[profile] trace written to {args.profile}")
         t0 = time.time()
-        batch = dataset.next()
-        batch = {
-            "x": jax.device_put(batch["x"], x_sharding),
-            "y": jax.device_put(batch["y"], x_sharding),
-        }
+        batch = put_batch(dataset.next())
         # rng feeds only the optional time-jitter augmentation
         sub = jax.random.PRNGKey(gs + step) if cfg.time_jitter else None
-        ts, metrics = step_fn(ts, batch, sub)
-        if int(np.asarray(metrics["step"])) % args.interval == 0:
-            gs = int(np.asarray(metrics["step"]))
-            writer.scalars(gs, {k: v for k, v in metrics.items()
-                                if k != "step"})
-            writer.histograms(gs, {
-                "embedding": ts["params"].get("vq", {}).get("embedding",
-                                                            np.zeros(0)),
-                "speaker_embedding": ts["params"].get("speaker_embedding",
-                                                      np.zeros(0)),
-            })
+        want_summaries = (gs + step) % args.interval == 0
+        ts, metrics = (summary_fn if want_summaries else step_fn)(
+            ts, batch, sub)
+        if want_summaries:
+            summ = jax.device_get(metrics.pop("summaries"))
+            s = int(np.asarray(metrics["step"]))
+            scalars = {k: v for k, v in metrics.items() if k != "step"}
+            scalars["global_norm/gradient_norm"] = summ.pop("grad_norm")
+            writer.scalars(s, scalars)
+            writer.histograms(
+                s, summary_histograms(jax.device_get(ts["params"]), summ))
             writer.flush()
         t = time.time() - t0
         gs = int(np.asarray(metrics["step"]))
@@ -144,8 +156,8 @@ def main(argv=None):
         print(progress + loss_str + display_time(t, second), end="")
         sys.stdout.flush()
         if step % args.ckpt_interval == 0:
-            save_checkpoint(save_dir, ts)
-    path = save_checkpoint(save_dir, ts)
+            save_checkpoint(save_dir, ts)          # async; loop keeps going
+    path = save_checkpoint(save_dir, ts, wait=True)
     print(f"\nsaved {path}")
     dataset.stop()
     writer.close()
