@@ -3,10 +3,11 @@
 
 Dumps codebook / speaker-embedding .npy files as TSV vec+meta pairs for
 projector.tensorflow.org; speaker metadata joins <corpus>_speaker_info.txt
-(gender/accent), exactly the reference's output format.
+(gender/accent).  Output FORMAT matches the reference byte-for-byte (vecs =
+tab-joined floats, meta = 1-based code index or '#'-joined speaker info);
+the implementation is this repo's own.
 """
 import argparse
-import io
 import os
 
 import numpy as np
@@ -26,50 +27,64 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def main(argv=None):
-    args = parse_args(argv)
+def write_projector_tsv(npy_path: str, save_dir: str, labels) -> str:
+    """Write <stem>_vecs.tsv / <stem>_meta.tsv for one embedding matrix.
+
+    labels: sequence of meta strings, one per embedding row (padded with
+    'missing_info' if shorter than the matrix).  Returns the stem.
+    """
+    emb = np.load(npy_path)
+    stem = os.path.basename(npy_path)
+    stem = stem[:-4] if stem.endswith(".npy") else stem
+    vec_lines = ["\t".join(str(x) for x in row) for row in emb]
+    meta_lines = [labels[i] if i < len(labels) else "missing_info"
+                  for i in range(len(emb))]
+    with open(os.path.join(save_dir, f"{stem}_vecs.tsv"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(vec_lines) + "\n")
+    with open(os.path.join(save_dir, f"{stem}_meta.tsv"), "w",
+              encoding="utf-8") as f:
+        f.write("\n".join(meta_lines) + "\n")
+    return stem
+
+
+def speaker_labels(dataset: str, data_path: str):
+    """Per-speaker '#'-joined gender/accent labels ordered by speaker id."""
     from vqvae_wavenet_tpu.data.datasets import (
         get_speaker_to_int, get_speaker_info)
 
-    os.makedirs(args.save, exist_ok=True)
+    locations = {"VCTK": ("vctk_speakers.txt", "vctk_speaker_info.txt",
+                          "vctk_info"),
+                 "LibriSpeech": ("librispeech_speakers.txt",
+                                 "librispeech_speaker_info.txt",
+                                 "librispeech_info")}
+    if dataset not in locations:
+        raise NotImplementedError(f"dataset {dataset}")
+    speakers_name, info_name, sub = locations[dataset]
 
-    def find(name, sub):
-        for cand in (os.path.join(args.data_path, name),
-                     os.path.join(args.data_path, sub, name)):
+    def find(name):
+        for cand in (os.path.join(data_path, name),
+                     os.path.join(data_path, sub, name)):
             if os.path.exists(cand):
                 return cand
-        raise FileNotFoundError(f"{name} under {args.data_path}")
+        raise FileNotFoundError(f"{name} under {data_path}")
 
-    total, meta = [], []
+    speaker_to_int = get_speaker_to_int(find(speakers_name))
+    info = get_speaker_info(speaker_to_int, find(info_name))
+    return [info[i] for i in range(len(speaker_to_int))]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.save, exist_ok=True)
+
     if args.embedding:
-        total.append(args.embedding)
-        meta.append(lambda i: str(i + 1) + "\n")
+        n_codes = len(np.load(args.embedding))
+        write_projector_tsv(args.embedding, args.save,
+                            [str(i + 1) for i in range(n_codes)])
     if args.speaker:
-        total.append(args.speaker)
-        if args.dataset == "VCTK":
-            speaker_path = find("vctk_speakers.txt", "vctk_info")
-            info_path = find("vctk_speaker_info.txt", "vctk_info")
-        elif args.dataset == "LibriSpeech":
-            speaker_path = find("librispeech_speakers.txt", "librispeech_info")
-            info_path = find("librispeech_speaker_info.txt", "librispeech_info")
-        else:
-            raise NotImplementedError(f"dataset {args.dataset}")
-        speaker_to_int = get_speaker_to_int(speaker_path)
-        speaker_info = get_speaker_info(speaker_to_int, info_path)
-        meta.append(lambda i: speaker_info[i] + "\n")
-
-    for file, id_f in zip(total, meta):
-        emb = np.load(file)
-        name = os.path.basename(file)
-        if name.endswith(".npy"):
-            name = name[:-4]
-        with io.open(f"{args.save}/{name}_vecs.tsv", "w",
-                     encoding="utf-8") as out_v, \
-                io.open(f"{args.save}/{name}_meta.tsv", "w",
-                        encoding="utf-8") as out_m:
-            for i, vec in enumerate(emb):
-                out_m.write(id_f(i))
-                out_v.write("\t".join(str(x) for x in vec) + "\n")
+        write_projector_tsv(args.speaker, args.save,
+                            speaker_labels(args.dataset, args.data_path))
     print("upload to http://projector.tensorflow.org")
 
 
