@@ -137,18 +137,24 @@ def main(argv=None):
         compute_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                          "int8": jnp.int8}[args.dtype]
 
+    import time
+    t0 = time.time()
     if cfg.model_family == "magenta":
         from vqvae_wavenet_tpu.models.magenta import magenta_generate
         audio = magenta_generate(params, x, y, length=padded,
                                  key=jax.random.PRNGKey(args.seed),
                                  mode=args.mode, compute_dtype=compute_dtype,
-                                 engine=args.engine)
+                                 engine=args.engine, verbose=True)
     else:
         lc, _codes = vqvae_encode(params, state, cfg, x, y)
         audio = generate(params["decoder"], cfg.wavenet, lc, length=padded,
                          key=jax.random.PRNGKey(args.seed), mode=args.mode,
-                         compute_dtype=compute_dtype, engine=args.engine)
+                         compute_dtype=compute_dtype, engine=args.engine,
+                         verbose=True)
     audio = np.asarray(audio)[:, :length]
+    dt = time.time() - t0
+    print(f"[generate] {batch_size}x{padded} samples in {dt:.2f}s "
+          f"({batch_size * padded / dt:,.0f} samples/s incl. compile)")
 
     for i, s in enumerate(args.speakers):
         s = "no_speaker" if s == "None" else s

@@ -64,6 +64,26 @@ def test_pallas_greedy_matches_xla(key, interpret_pallas):
 
 
 @pytest.mark.slow
+def test_pallas_multilayer_dma_blocks(key, interpret_pallas):
+    """8 layers -> G=2 layers per DMA block (the round-2 stream-granularity
+    optimization): greedy output must still match the XLA scan exactly."""
+    cfg = WavenetConfig(
+        quantization_channels=256, num_cycles=2, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 8, 1, 2, 4, 8], kernel_size=2,
+        dilation_filters=64, skip_filters=128, residual_filters=128,
+        preprocess_kernel_size=4, preprocess_filters=128)
+    from vqvae_wavenet_tpu.ops.gen_pallas import _layers_per_dma
+    assert _layers_per_dma(cfg, 128, 4) == 2
+    params = init_wavenet_params(key, cfg, lc_channels=128)
+    lc = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 128)) * 0.3
+    ref = np.asarray(fast.generate(params, cfg, lc, length=24,
+                                   mode="greedy"))
+    got = np.asarray(gen_pallas.generate_pallas(
+        params, cfg, lc, length=24, mode="greedy", dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_pallas_batch2_greedy(key, interpret_pallas):
     """Batched generation through the kernel (sample mode needs the TPU
     PRNG, which the CPU interpreter lacks — validated on hardware)."""
@@ -119,6 +139,78 @@ def test_pallas_gc_sigmoid_first_matches_xla(key, interpret_pallas):
         params, cfg, lc, length=LEN, mode="greedy", dtype=jnp.float32,
         gate_order="sigmoid_first", global_condition=None))
     assert not np.allclose(got0, ref)
+
+
+HW_SAMPLE_SCRIPT = r"""
+import sys
+import numpy as np
+import jax
+if jax.devices()[0].platform not in ("tpu", "axon"):
+    print("SKIP: no TPU backend"); sys.exit(0)
+import jax.numpy as jnp
+from vqvae_wavenet_tpu.config import WavenetConfig
+from vqvae_wavenet_tpu.models.wavenet import init_wavenet_params
+from vqvae_wavenet_tpu.ops.gen_pallas import generate_pallas
+from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
+
+# degenerate model: every weight zero except the postprocess2 bias, so the
+# logits are a CONSTANT vector and the kernel's in-kernel Gumbel sampling
+# must draw i.i.d. categorical(softmax(bias)) at every step.
+cfg = WavenetConfig(
+    quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+    dilation_rates=[1, 2, 4, 8], kernel_size=2, dilation_filters=64,
+    skip_filters=128, residual_filters=128, preprocess_kernel_size=4,
+    preprocess_filters=128)
+params = init_wavenet_params(jax.random.PRNGKey(0), cfg, lc_channels=8)
+params = jax.tree_util.tree_map(jnp.zeros_like, params)
+rng = np.random.default_rng(7)
+logits = np.full(256, -6.0, np.float32)
+active = rng.choice(256, 16, replace=False)
+logits[active] = rng.uniform(1.5, 3.0, 16).astype(np.float32)
+params["postprocess2"]["bias"] = jnp.asarray(logits)
+
+N = 8192
+lc = jnp.zeros((1, 4, 8))
+wave = generate_pallas(params, cfg, lc, length=N, seed=123, mode="sample",
+                       dtype=jnp.bfloat16)
+bins = np.asarray(mu_law_encode(np.asarray(wave)[0], to_int=True))
+counts = np.bincount(bins, minlength=256).astype(np.float64)
+
+p = np.exp(logits - logits.max()); p /= p.sum()
+exp = p * N
+# merge bins with tiny expected counts (standard chi-square practice)
+small = exp < 5
+obs_g = np.concatenate([counts[~small], [counts[small].sum()]])
+exp_g = np.concatenate([exp[~small], [exp[small].sum()]])
+chi2 = float(((obs_g - exp_g) ** 2 / exp_g).sum())
+df = len(obs_g) - 1
+from scipy.stats import chi2 as chi2_dist
+crit = float(chi2_dist.ppf(0.999, df))
+print(f"chi2={chi2:.1f} df={df} crit(p=0.001)={crit:.1f}")
+assert chi2 < crit, f"sample distribution off: chi2={chi2} > {crit}"
+print("OK")
+"""
+
+
+@pytest.mark.slow
+def test_hardware_sample_mode_distribution():
+    """In-kernel Gumbel sampling on REAL TPU hardware must draw from
+    softmax(logits): chi-square test against a constant-logit model
+    (the CPU interpreter lacks the TPU PRNG, so this runs on the default
+    axon backend in a subprocess; skips when no TPU is attached)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run(
+        [sys.executable, "-c", HW_SAMPLE_SCRIPT],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=900)
+    if "SKIP" in out.stdout:
+        pytest.skip("no TPU backend available")
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout, out.stdout
 
 
 @pytest.mark.slow

@@ -203,7 +203,9 @@ def _pallas_eligible(params, cfg: WavenetConfig, local_condition) -> bool:
     a_cols = max(2 * cfg.dilation_filters, cfg.skip_filters)
     a_rows = (cfg.kernel_size * cfg.residual_filters + c
               + cfg.dilation_filters + 2)
-    slots_mb = 4 * a_rows * a_cols * 2 / 2 ** 20
+    from vqvae_wavenet_tpu.ops.gen_pallas import _layers_per_dma
+    g = _layers_per_dma(cfg, c, 2)
+    slots_mb = 4 * g * a_rows * a_cols * 2 / 2 ** 20
     res_mb = (cfg.num_layers * (cfg.dilation_filters + 16)
               * cfg.residual_filters * 2 / 2 ** 20)
     gcon_mb = (cfg.num_layers * max(b, 8) * 2 * cfg.dilation_filters
@@ -221,7 +223,7 @@ def _pallas_eligible(params, cfg: WavenetConfig, local_condition) -> bool:
 def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
              key=None, mode: str = "sample", gate_order: str = "tanh_first",
              compute_dtype=jnp.float32, engine: str = "auto",
-             global_condition=None):
+             global_condition=None, verbose: bool = False):
     """Autoregressive generation: ONE device program for the whole clip.
 
     Args:
@@ -252,6 +254,10 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
     use_pallas = engine == "pallas" or (
         engine == "auto" and compute_dtype in (jnp.bfloat16, jnp.int8)
         and _pallas_eligible(params, cfg, local_condition))
+    if verbose:
+        print(f"[generate] engine={'pallas' if use_pallas else 'xla'} "
+              f"dtype={jnp.dtype(compute_dtype).name} length={length} "
+              f"batch={local_condition.shape[0]}")
     if use_pallas:
         from vqvae_wavenet_tpu.ops.gen_pallas import generate_pallas
         seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))

@@ -191,7 +191,8 @@ def make_magenta_optimizer(schedule: dict = None):
 
 def magenta_generate(params, x_cond, gc_one_hot, *, length: int = None,
                      key=None, mode: str = "sample",
-                     compute_dtype=jnp.float32, engine: str = "auto"):
+                     compute_dtype=jnp.float32, engine: str = "auto",
+                     verbose: bool = False):
     """End-to-end Magenta-variant generation (the reference's
     FastGenerationConfig + Magenta/generate.py flow): encode the
     conditioning wav once, then run the fast WaveNet with per-layer
@@ -211,4 +212,4 @@ def magenta_generate(params, x_cond, gc_one_hot, *, length: int = None,
     return generate(params["decoder"], cfg, encoding, length=length,
                     key=key, mode=mode, gate_order="sigmoid_first",
                     global_condition=gc, compute_dtype=compute_dtype,
-                    engine=engine)
+                    engine=engine, verbose=verbose)

@@ -44,6 +44,30 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# cap on the 4 rotating weight slots (VMEM is ~128MB/core; ring + resident
+# res matrices + lc share it)
+_SLOT_BUDGET_MB = 24.0
+
+
+def _layers_per_dma(cfg: WavenetConfig, lc_channels: int, itemsize: int) -> int:
+    """Group G consecutive layers into each streamed DMA block.
+
+    The weight stream is issue-overhead-bound at ~1.2MB granules (measured
+    ~1.25us exposed setup per DMA at depth-3, PERF.md #7) — larger blocks
+    amortize it.  G must divide L with at least 4 blocks so the 4-slot /
+    depth-3 rotation still pipelines across sample boundaries."""
+    L = cfg.num_layers
+    lay = _layout(cfg, lc_channels)
+    best = 1
+    for g in range(2, L + 1):
+        if L % g or L // g < 4:
+            continue
+        if 4 * g * lay["a_rows"] * lay["a_cols"] * itemsize \
+                <= _SLOT_BUDGET_MB * 2 ** 20:
+            best = g
+    return best
+
+
 def _layout(cfg: WavenetConfig, lc_channels: int):
     """Static row layout of the two packed per-layer weight blocks."""
     K, R, D, S = (cfg.kernel_size, cfg.residual_filters,
@@ -150,7 +174,8 @@ def _mu_law_decode_f32(bins, q):
 
 def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                  length: int, t_cond: int, mode: str, dtype,
-                 gate_order: str = "tanh_first"):
+                 gate_order: str = "tanh_first", G: int = 1,
+                 resident: bool = False):
     L = cfg.num_layers
     K = cfg.kernel_size
     D = cfg.dilation_filters
@@ -161,12 +186,20 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
     ratio = length // t_cond
     lay = _layout(cfg, lc_channels)
     B = batch
+    NB = L // G            # DMA blocks per sample (G layers each)
     quantized = dtype == jnp.int8
     act_dtype = jnp.bfloat16 if quantized else dtype
     # f32 verification builds use exact accumulation; bf16 production dots
     # are single-pass on the MXU either way
     prec = (lax.Precision.HIGHEST if dtype == jnp.float32
             else lax.Precision.DEFAULT)
+
+    # split each block DMA into P parallel sub-copies on separate
+    # semaphores so multiple DMA engines pull the stream concurrently;
+    # sub-copies must stay 8-row-aligned (TPU tiling)
+    block_rows = G * lay["a_rows"]
+    P = next(p for p in (4, 2, 1) if block_rows % (8 * p) == 0)
+    sub_rows = block_rows // P
 
     def kernel(off_ref, dil_ref, size_ref, seed_ref,          # scalar prefetch
                a_hbm, res_ref, scale_ref, lc_ref, w_pre, b_pre, w_ss, b_ss,
@@ -176,9 +209,19 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                w512, deq, ring, win, prev, sems):             # scratch
         i = pl.program_id(0)
 
-        def dma_a(l, slot):
-            return pltpu.make_async_copy(a_hbm.at[l], w512.at[slot],
-                                         sems.at[slot])
+        def dma_a(l, slot, p):
+            return pltpu.make_async_copy(
+                a_hbm.at[l, pl.ds(p * sub_rows, sub_rows)],
+                w512.at[slot, pl.ds(p * sub_rows, sub_rows)],
+                sems.at[slot, p])
+
+        def start_block(l, slot):
+            for p in range(P):
+                dma_a(l, slot, p).start()
+
+        def wait_block(l, slot):
+            for p in range(P):
+                dma_a(l, slot, p).wait()
 
         @pl.when(i == 0)
         def _init():
@@ -187,9 +230,10 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
             ring[...] = jnp.zeros_like(ring)
             win[...] = jnp.zeros_like(win)
             prev[...] = jnp.zeros_like(prev)
-            dma_a(0, 0).start()
-            dma_a(1, 1).start()
-            dma_a(2, 2).start()
+            if not resident:
+                start_block(0, 0)
+                start_block(1, 1)
+                start_block(2, 2)
 
         # ---- preprocess: mu-law encode prev sample, roll it into the window
         u_t = _mu_law_encode_f32(prev[0, :], Q)                 # [B]
@@ -209,73 +253,92 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
 
         t = i
 
-        def layer_body(l, carry):
+        def block_body(bl, carry):
             # 4 rotating weight slots keep 3 DMAs outstanding so the HBM
-            # stream never drains (the step is weight-streaming-bound).
-            # Slots follow the GLOBAL stream index i*L + l: the rotation
-            # phase must carry across sample boundaries when L % 3 != 0.
+            # stream never drains (the step is weight-streaming-bound);
+            # each DMA carries G consecutive layers to amortize per-DMA
+            # setup latency (PERF.md #7/#9).  Slots follow the GLOBAL
+            # stream index i*NB + bl: the rotation phase must carry across
+            # sample boundaries when NB % 3 != 0.
             current, skip = carry
-            g = i * L + l
-            slot = jax.lax.rem(g, 4)
-            dma_a(l, slot).wait()
-            nxt = jax.lax.rem(l + 3, L)
-            nslot = jax.lax.rem(g + 3, 4)
-
-            @pl.when(jnp.logical_or(i < length - 1, l < L - 3))
-            def _():
-                dma_a(nxt, nslot).start()
-
-            d = dil_ref[l]
-            off = off_ref[l]
-            size = size_ref[l]
-            if quantized:
-                # dequantize the whole slot once: int8 rows * per-row scale
-                deq[...] = (w512.at[slot][...].astype(jnp.bfloat16)
-                            * scale_ref[pl.ds(l, 1)][0].astype(jnp.bfloat16))
-                a = deq
+            if resident:
+                # the whole packed weight array lives in VMEM (~36MB fits
+                # the v5e's ~128MB VMEM comfortably): no weight DMA at all
+                a = a_hbm.at[bl]
             else:
-                a = w512.at[slot]
+                gidx = i * NB + bl
+                slot = jax.lax.rem(gidx, 4)
+                wait_block(bl, slot)
+                nxt = jax.lax.rem(bl + 3, NB)
+                nslot = jax.lax.rem(gidx + 3, 4)
 
-            pre = jnp.dot(current, a[(K - 1) * R:K * R, :2 * D],
-                          preferred_element_type=jnp.float32, precision=prec)
-            for j in range(1, K):
-                past = ring[pl.ds(off + jax.lax.rem(t - j * d + j * size,
-                                                    size), 1)][0]  # [B, R]
-                pre += jnp.dot(past.astype(act_dtype),
-                               a[(K - 1 - j) * R:(K - j) * R, :2 * D],
-                               preferred_element_type=jnp.float32, precision=prec)
-            pre += jnp.dot(lc_t, a[lay["off_lc"]:lay["off_lc"] + lc_channels,
-                                   :2 * D],
-                           preferred_element_type=jnp.float32, precision=prec)
-            pre += a[lay["off_bias"], :2 * D].astype(jnp.float32)
-            # per-layer global-condition contribution, precomputed at pack
-            # time (gc is constant over the clip — 'add_gc',
-            # Magenta/config.py:178-192): one [B, 2D] add per layer
-            pre += gcon_ref[pl.ds(l, 1)][0].astype(jnp.float32)
-            if gate_order == "tanh_first":
-                gated = (jnp.tanh(pre[:, :D])
-                         * jax.nn.sigmoid(pre[:, D:2 * D])).astype(act_dtype)
-            else:   # sigmoid_first — Magenta/config.py:345-348
-                gated = (jax.nn.sigmoid(pre[:, :D])
-                         * jnp.tanh(pre[:, D:2 * D])).astype(act_dtype)
-            skip = skip + jnp.dot(gated, a[lay["off_skip"]:lay["off_skip"] + D,
-                                           :S],
-                                  preferred_element_type=jnp.float32, precision=prec) \
-                + a[lay["off_skip_bias"], :S].astype(jnp.float32)
-            # push this layer's input, then residual-update
-            ring[pl.ds(off + jax.lax.rem(t, size), 1)] = current[None]
-            res = res_ref[pl.ds(l, 1)][0]                    # [res_rows, R]
-            current = (current.astype(jnp.float32)
-                       + jnp.dot(gated, res[:D, :],
-                                 preferred_element_type=jnp.float32, precision=prec)
-                       + res[lay["off_res_bias"], :].astype(jnp.float32)
-                       ).astype(act_dtype)
+                @pl.when(jnp.logical_or(i < length - 1, bl < NB - 3))
+                def _():
+                    start_block(nxt, nslot)
+
+                if quantized:
+                    # dequantize the slot once: int8 rows * per-row scale
+                    deq[...] = (
+                        w512.at[slot][...].astype(jnp.bfloat16)
+                        * scale_ref[pl.ds(bl, 1)][0].astype(jnp.bfloat16))
+                    a = deq
+                else:
+                    a = w512.at[slot]
+
+            # inner layers of the block: STATIC row offsets into the slot
+            for g in range(G):
+                l = bl * G + g
+                r0 = g * lay["a_rows"]
+                d = dil_ref[l]
+                off = off_ref[l]
+                size = size_ref[l]
+
+                pre = jnp.dot(current, a[r0 + (K - 1) * R:r0 + K * R, :2 * D],
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+                for j in range(1, K):
+                    past = ring[pl.ds(off + jax.lax.rem(t - j * d + j * size,
+                                                        size), 1)][0]  # [B, R]
+                    pre += jnp.dot(past.astype(act_dtype),
+                                   a[r0 + (K - 1 - j) * R:r0 + (K - j) * R,
+                                     :2 * D],
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+                pre += jnp.dot(lc_t,
+                               a[r0 + lay["off_lc"]:
+                                 r0 + lay["off_lc"] + lc_channels, :2 * D],
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+                pre += a[r0 + lay["off_bias"], :2 * D].astype(jnp.float32)
+                # per-layer global-condition contribution, precomputed at
+                # pack time (gc is constant over the clip — 'add_gc',
+                # Magenta/config.py:178-192): one [B, 2D] add per layer
+                pre += gcon_ref[pl.ds(l, 1)][0].astype(jnp.float32)
+                if gate_order == "tanh_first":
+                    gated = (jnp.tanh(pre[:, :D])
+                             * jax.nn.sigmoid(pre[:, D:2 * D])
+                             ).astype(act_dtype)
+                else:   # sigmoid_first — Magenta/config.py:345-348
+                    gated = (jax.nn.sigmoid(pre[:, :D])
+                             * jnp.tanh(pre[:, D:2 * D])).astype(act_dtype)
+                skip = skip + jnp.dot(
+                    gated, a[r0 + lay["off_skip"]:r0 + lay["off_skip"] + D,
+                             :S],
+                    preferred_element_type=jnp.float32, precision=prec) \
+                    + a[r0 + lay["off_skip_bias"], :S].astype(jnp.float32)
+                # push this layer's input, then residual-update
+                ring[pl.ds(off + jax.lax.rem(t, size), 1)] = current[None]
+                res = res_ref[pl.ds(l, 1)][0]                # [res_rows, R]
+                current = (current.astype(jnp.float32)
+                           + jnp.dot(gated, res[:D, :],
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+                           + res[lay["off_res_bias"], :].astype(jnp.float32)
+                           ).astype(act_dtype)
             return current, skip
 
-
-
-        assert L >= 4, "pallas generation requires at least 4 layers"
-        current, skip = lax.fori_loop(0, L, layer_body, (current, skip))
+        assert NB >= 4, "pallas generation requires at least 4 DMA blocks"
+        current, skip = lax.fori_loop(0, NB, block_body, (current, skip))
 
         net = jax.nn.relu(skip).astype(act_dtype)
         net = (jnp.dot(net, w_pp1[...], preferred_element_type=jnp.float32, precision=prec)
@@ -311,15 +374,33 @@ def _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1, seed, *,
                          mode: str, dtype, gate_order: str = "tanh_first"):
     t_cond, batch, _ = lc.shape
     offs, dils, sizes, total_p = _ring_tables(cfg)
+    # Fully-resident mode: the packed weights live in VMEM for the whole
+    # clip (v5e has ~128MB VMEM — measured, not the 16MB of older guides),
+    # eliminating the per-step HBM weight stream entirely.  Falls back to
+    # the 4-slot DMA pipeline when the model doesn't fit (or for int8).
+    ring_bytes = (_ring_tables(cfg)[3] * batch * cfg.residual_filters
+                  * (2 if dtype != jnp.float32 else 4))
+    resident_bytes = (a.size * a.dtype.itemsize + res.size * res.dtype.itemsize
+                      + ring_bytes + lc.size * lc.dtype.itemsize)
+    resident = dtype != jnp.int8 and resident_bytes <= 96 * 2 ** 20
+
+    # group G layers per block: [L, rows, cols] -> [L/G, G*rows, cols]
+    # (row-contiguous, so the reshape is layout-preserving).  Streaming
+    # mode: fewer/larger DMAs; resident mode: static in-block row offsets
+    # with a dynamic block index.
+    G = _layers_per_dma(cfg, lc_channels, a.dtype.itemsize)
+    a = a.reshape(cfg.num_layers // G, G * a.shape[1], a.shape[2])
+    scales = scales.reshape(cfg.num_layers // G, G * scales.shape[1], 1)
     kernel, lay = _make_kernel(cfg, lc_channels, batch, length, t_cond,
-                               mode, dtype, gate_order)
+                               mode, dtype, gate_order, G, resident)
     PK = cfg.preprocess_kernel_size
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(length,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # a_hbm
+            pl.BlockSpec(memory_space=pltpu.VMEM if resident
+                         else pltpu.ANY),           # packed weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # res (resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scales (resident)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lc
@@ -338,14 +419,17 @@ def _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1, seed, *,
         out_specs=pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4,) + a.shape[1:], a.dtype),
-            pltpu.VMEM(a.shape[1:],
+            # weight slots are only live in streaming mode
+            pltpu.VMEM(((1, 8, 128) if resident else (4,) + a.shape[1:]),
+                       a.dtype),
+            # dequant staging is only live in int8 mode
+            pltpu.VMEM(a.shape[1:] if dtype == jnp.int8 else (8, 128),
                        jnp.bfloat16 if dtype == jnp.int8 else a.dtype),
             pltpu.VMEM((total_p, batch, cfg.residual_filters),
                        jnp.bfloat16 if dtype == jnp.int8 else dtype),
             pltpu.VMEM((PK, batch), jnp.float32),
             pltpu.VMEM((1, batch), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4, 4)),
         ],
     )
     bins = pl.pallas_call(
@@ -353,7 +437,11 @@ def _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1, seed, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((_round_up(length, 8), 128),
                                        jnp.int32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the 4 G-layer weight slots + ring exceed Mosaic's default
+            # 16MB scoped-vmem stack limit at large L
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(jnp.asarray(offs), jnp.asarray(dils), jnp.asarray(sizes),
       jnp.asarray([seed], jnp.int32),
       a, res, scales, lc, small["w_pre"], small["b_pre"], small["w_ss"],
