@@ -42,11 +42,14 @@ def main():
     wav = generate(params, cfg, lc, length=length, key=key,
                    compute_dtype=jnp.bfloat16, engine="auto")  # compile
     wav.block_until_ready()
-    t0 = time.perf_counter()
-    wav = generate(params, cfg, lc, length=length, key=jax.random.PRNGKey(2),
-                   compute_dtype=jnp.bfloat16, engine="auto")
-    wav.block_until_ready()
-    fast_time = time.perf_counter() - t0
+    fast_time = float("inf")   # best-of-3: the tunnel adds ~ms-level
+    for trial in range(3):     # dispatch jitter per call
+        t0 = time.perf_counter()
+        wav = generate(params, cfg, lc, length=length,
+                       key=jax.random.PRNGKey(2 + trial),
+                       compute_dtype=jnp.bfloat16, engine="auto")
+        wav.block_until_ready()
+        fast_time = min(fast_time, time.perf_counter() - t0)
     fast_sps = length / fast_time
 
     # ---- baseline proxy: one device dispatch + host sync per sample

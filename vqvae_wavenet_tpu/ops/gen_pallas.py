@@ -200,13 +200,14 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
     block_rows = G * lay["a_rows"]
     P = next(p for p in (4, 2, 1) if block_rows % (8 * p) == 0)
     sub_rows = block_rows // P
+    _offs_np, _dils_np, _sizes_np, _ = _ring_tables(cfg)
 
     def kernel(off_ref, dil_ref, size_ref, seed_ref,          # scalar prefetch
                a_hbm, res_ref, scale_ref, lc_ref, w_pre, b_pre, w_ss, b_ss,
                w_pp1, b_pp1, w_pp1_lc, w_pp2, b_pp2,
                gcon_ref, g_pp1_ref,                           # inputs
                out_ref,                                       # output
-               w512, deq, ring, win, prev, sems):             # scratch
+               w512, deq, ring, win, prev, stage, sems):      # scratch
         i = pl.program_id(0)
 
         def dma_a(l, slot, p):
@@ -250,6 +251,9 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                 + b_ss[...])                                    # [B, S] f32
 
         lc_t = lc_ref[pl.ds(i // ratio, 1)][0].astype(act_dtype)    # [B, C]
+        # the lc columns of the fused input vector change only when the
+        # conditioning frame advances; the taps columns change per layer
+        stage[:, lay["off_lc"]:lay["off_lc"] + lc_channels] = lc_t
 
         t = i
 
@@ -263,7 +267,7 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
             current, skip = carry
             if resident:
                 # the whole packed weight array lives in VMEM (~36MB fits
-                # the v5e's ~128MB VMEM comfortably): no weight DMA at all
+                # the v5e's ~128MB VMEM, measured): no weight DMA at all
                 a = a_hbm.at[bl]
             else:
                 gidx = i * NB + bl
@@ -289,26 +293,30 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
             for g in range(G):
                 l = bl * G + g
                 r0 = g * lay["a_rows"]
-                d = dil_ref[l]
-                off = off_ref[l]
-                size = size_ref[l]
+                if isinstance(l, int):   # unrolled: fold the ring tables
+                    d = int(_dils_np[l])
+                    off = int(_offs_np[l])
+                    size = int(_sizes_np[l])
+                else:
+                    d = dil_ref[l]
+                    off = off_ref[l]
+                    size = size_ref[l]
 
-                pre = jnp.dot(current, a[r0 + (K - 1) * R:r0 + K * R, :2 * D],
-                              preferred_element_type=jnp.float32,
-                              precision=prec)
+                # ONE fused [B, K*R + C] x [K*R + C, 2D] dot replaces the
+                # K tap dots + the lc dot: same MXU passes, 1/4 the issue
+                # overhead (the step is compute-latency-bound at B=1 once
+                # weights are resident).  Taps columns are rewritten per
+                # layer; lc columns persist for the whole cond frame.
+                stage[:, (K - 1) * R:K * R] = current
                 for j in range(1, K):
                     past = ring[pl.ds(off + jax.lax.rem(t - j * d + j * size,
                                                         size), 1)][0]  # [B, R]
-                    pre += jnp.dot(past.astype(act_dtype),
-                                   a[r0 + (K - 1 - j) * R:r0 + (K - j) * R,
-                                     :2 * D],
-                                   preferred_element_type=jnp.float32,
-                                   precision=prec)
-                pre += jnp.dot(lc_t,
-                               a[r0 + lay["off_lc"]:
-                                 r0 + lay["off_lc"] + lc_channels, :2 * D],
-                               preferred_element_type=jnp.float32,
-                               precision=prec)
+                    stage[:, (K - 1 - j) * R:(K - j) * R] = \
+                        past.astype(act_dtype)
+                pre = jnp.dot(stage[...],
+                              a[r0:r0 + lay["off_skip"], :2 * D],
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
                 pre += a[r0 + lay["off_bias"], :2 * D].astype(jnp.float32)
                 # per-layer global-condition contribution, precomputed at
                 # pack time (gc is constant over the clip — 'add_gc',
@@ -337,8 +345,22 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                            ).astype(act_dtype)
             return current, skip
 
-        assert NB >= 4, "pallas generation requires at least 4 DMA blocks"
-        current, skip = lax.fori_loop(0, NB, block_body, (current, skip))
+        if resident:
+            # fully unrolled: every ring offset / weight row / res row is
+            # a compile-time constant (no fori bookkeeping, no SMEM-driven
+            # dynamic addressing).  Note: a two-phase schedule that hoists
+            # every layer's off-chain (past/lc/bias/gc) dot ahead of the
+            # serial chain measured SLOWER (34.8 vs 31.7 us/step) — Mosaic
+            # schedules in order, so the extra pre_base VMEM round trips
+            # cost more than the issue overhead they save.
+            carry = (current, skip)
+            for bl in range(NB):
+                carry = block_body(bl, carry)
+            current, skip = carry
+        else:
+            assert NB >= 4, "pallas generation needs >= 4 DMA blocks"
+            current, skip = lax.fori_loop(0, NB, block_body,
+                                          (current, skip))
 
         net = jax.nn.relu(skip).astype(act_dtype)
         net = (jnp.dot(net, w_pp1[...], preferred_element_type=jnp.float32, precision=prec)
@@ -429,6 +451,9 @@ def _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1, seed, *,
                        jnp.bfloat16 if dtype == jnp.int8 else dtype),
             pltpu.VMEM((PK, batch), jnp.float32),
             pltpu.VMEM((1, batch), jnp.float32),
+            # fused-dot input vector [B, K*R + C] (taps + lc columns)
+            pltpu.VMEM((batch, lay["off_skip"]),
+                       jnp.bfloat16 if dtype == jnp.int8 else dtype),
             pltpu.SemaphoreType.DMA((4, 4)),
         ],
     )
