@@ -104,6 +104,21 @@ def test_train_generate_visualise_cli(corpus):
     assert meta[0].count("#") >= 2   # gender/accent join (utils.py:103-116)
 
 
+def test_time_shards_cli(corpus):
+    """-time_shards 2: sequence-parallel training from the CLI (the time
+    axis sharded over 2 virtual devices with halo exchange)."""
+    import train as train_cli
+
+    save = corpus / "sp_model"
+    train_cli.main([
+        "-dataset", "VCTK", "-length", "1024", "-batch", "2", "-step", "3",
+        "-interval", "2", "-save", str(save / "weights"),
+        "-params", str(corpus / "tiny_model.json"),
+        "-data", str(corpus / "data") + "/", "-ckpt_interval", "100",
+        "-time_shards", "2"])
+    assert (save / "weights-3").is_dir()
+
+
 def test_magenta_family_cli(corpus, monkeypatch):
     """model_family='magenta' routes train.py through magenta_forward /
     make_magenta_optimizer and generate.py through magenta_generate

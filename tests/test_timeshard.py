@@ -28,12 +28,20 @@ def test_halo_sizes():
     assert halo == 40 and frames == 4  # rounded up to whole frames
 
 
+def bump_biases(params, delta=0.1):
+    """Give every bias a nonzero value: a trained checkpoint's recomputed
+    halo activations differ from the single-device zero padding at shard 0
+    unless the SP path masks them (invisible at zero-bias init)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: x + delta if "bias" in str(p[-1]) else x, params)
+
+
 @pytest.mark.parametrize("n_shards", [2, 4])
 def test_time_sharded_matches_single(key, n_shards):
     cfg = tiny_cfg()
     B, T, C = 2, 256, 5
     ratio = 16
-    params = init_wavenet_params(key, cfg, lc_channels=C)
+    params = bump_biases(init_wavenet_params(key, cfg, lc_channels=C))
     x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
                            minval=-0.9, maxval=0.9)
     lc = jax.random.normal(jax.random.PRNGKey(2), (B, T // ratio, C))
@@ -53,3 +61,105 @@ def test_time_sharded_rejects_misaligned(key):
     mesh = make_mesh(num_data=4, num_model=1, devices=jax.devices()[:4])
     with pytest.raises(AssertionError):
         time_sharded_logits(params, cfg, x, lc, mesh)
+
+
+# ---------------------------- SP TRAINING (round 2) ----------------------
+
+
+def sp_model_cfg(**kw):
+    from vqvae_wavenet_tpu.config import ModelConfig
+    base = dict(encoder="64", use_vq=True, speaker_embedding=4, k=8,
+                latent_dim=4, beta=0.25, wavenet=tiny_cfg(),
+                learning_rate_schedule={0: 1e-3})
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def time_mesh(n):
+    from jax.sharding import Mesh
+    return Mesh(np.asarray(jax.devices()[:n]), ("time",))
+
+
+@pytest.mark.parametrize("n_shards,norm", [(2, "batch"), (4, "group")])
+def test_sp_loss_matches_single_device(key, n_shards, norm):
+    """time_sharded_loss == vqvae_forward: encoder halos + sync-norm +
+    decoder halo + psum'd losses reproduce the one-device computation."""
+    from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
+    from vqvae_wavenet_tpu.parallel.timeshard import time_sharded_loss
+
+    cfg = sp_model_cfg(encoder_norm=norm)
+    params, state = init_vqvae(key, cfg, num_speakers=4)
+    params = bump_biases(params)
+    B, T = 2, 512
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    y = jax.nn.one_hot(jnp.arange(B) % 4, 4)[:, None, :]
+
+    ref_loss, ref_aux = vqvae_forward(params, state, cfg, x, y, train=True)
+    sp_loss, sp_aux = time_sharded_loss(params, state, cfg, x, y,
+                                        time_mesh(n_shards))
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=2e-5)
+    np.testing.assert_allclose(float(sp_aux["reconstruction_loss"]),
+                               float(ref_aux["reconstruction_loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(sp_aux["vq_loss"]),
+                               float(ref_aux["vq_loss"]), rtol=2e-4)
+    if norm == "batch":   # BN running stats must match too
+        ref_bn = ref_aux["state"]["encoder"]["bn"][0]["mean"]
+        sp_bn = sp_aux["state"]["encoder"]["bn"][0]["mean"]
+        np.testing.assert_allclose(np.asarray(sp_bn), np.asarray(ref_bn),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_sp_gradients_match_single_device(key):
+    """Backward through the halo ppermutes must equal one-device grads."""
+    from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
+    from vqvae_wavenet_tpu.parallel.timeshard import time_sharded_loss
+
+    cfg = sp_model_cfg()
+    params, state = init_vqvae(key, cfg, num_speakers=4)
+    params = bump_biases(params)
+    B, T = 1, 512
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    y = jax.nn.one_hot(jnp.arange(B) % 4, 4)[:, None, :]
+    mesh = time_mesh(4)
+
+    g_ref = jax.grad(
+        lambda p: vqvae_forward(p, state, cfg, x, y, train=True)[0])(params)
+    g_sp = jax.grad(
+        lambda p: time_sharded_loss(p, state, cfg, x, y, mesh)[0])(params)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_sp = dict(jax.tree_util.tree_leaves_with_path(g_sp))
+    for path, leaf in flat_ref:
+        got = flat_sp[path]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(leaf), rtol=5e-4, atol=5e-6,
+            err_msg=str(path))
+
+
+def test_sp_train_step_runs_and_learns(key):
+    """make_sp_train_step: 5 full steps on a 4-way time mesh; loss drops."""
+    from vqvae_wavenet_tpu.training.train_loop import init_train_state
+    from vqvae_wavenet_tpu.parallel.timeshard import make_sp_train_step
+
+    cfg = sp_model_cfg()
+    mesh = time_mesh(4)
+    ts = init_train_state(key, cfg, num_speakers=4)
+    step = make_sp_train_step(cfg, mesh)
+    B, T = 1, 512
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.5, maxval=0.5)
+    y = jax.nn.one_hot(jnp.arange(B) % 4, 4)[:, None, :]
+    from jax.sharding import NamedSharding, PartitionSpec
+    batch = {"x": jax.device_put(x, NamedSharding(
+                 mesh, PartitionSpec(None, "time", None))),
+             "y": jax.device_put(y, NamedSharding(mesh, PartitionSpec()))}
+    losses = []
+    for _ in range(5):
+        ts, m = step(ts, batch)
+        losses.append(float(m["loss"]))
+    assert int(np.asarray(ts["step"])) == 5
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -52,6 +52,11 @@ def parse_args(argv=None):
                              "(multi-slice/multi-host training)")
     parser.add_argument("-num_processes", default=None, type=int)
     parser.add_argument("-process_id", default=None, type=int)
+    parser.add_argument("-time_shards", default=1, type=int, metavar="N",
+                        help="shard the audio TIME axis over N chips "
+                             "(sequence parallelism with receptive-field "
+                             "halo exchange — train on audio longer than "
+                             "one chip; -length/N must be a multiple of 64)")
     return parser.parse_args(argv)
 
 
@@ -107,21 +112,43 @@ def main(argv=None):
     os.makedirs(save_dir, exist_ok=True)
     writer = MetricWriter(save_dir)
 
-    # the mesh-aware jit path: batch sharded over 'data', params per the
-    # TP rules in parallel/mesh.py (replicated at num_model=1)
-    step_fn = make_jit_train_step(cfg, mesh=mesh)(ts)
-    summary_fn = make_jit_train_step(cfg, mesh=mesh, with_summaries=True)(ts)
-    x_sharding = batch_sharding(mesh)
+    if args.time_shards > 1:
+        # sequence parallelism: time axis sharded with halo exchange
+        # (parallel/timeshard.py); batch replicates across the time mesh
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from vqvae_wavenet_tpu.parallel.timeshard import make_sp_train_step
+        mesh_t = Mesh(np.asarray(jax.devices()[:args.time_shards]),
+                      ("time",))
+        sp_step = make_sp_train_step(cfg, mesh_t)
+        x_sh = NamedSharding(mesh_t, P(None, "time", None))
+        repl = NamedSharding(mesh_t, P())
+        ts = jax.device_put(ts, repl)
 
-    if jax.process_count() > 1:
-        # multi-host: each process contributes its local shard of the
-        # global batch (the reference is single-process; SURVEY.md §2c)
+        def step_fn(ts, batch, sub):
+            return sp_step(ts, batch)
+        summary_fn = step_fn
+
         def put_batch(b):
-            return {k: jax.make_array_from_process_local_data(x_sharding, v)
-                    for k, v in b.items()}
+            return {"x": jax.device_put(b["x"], x_sh),
+                    "y": jax.device_put(b["y"], repl)}
     else:
-        def put_batch(b):
-            return {k: jax.device_put(v, x_sharding) for k, v in b.items()}
+        # the mesh-aware jit path: batch sharded over 'data', params per
+        # the TP rules in parallel/mesh.py (replicated at num_model=1)
+        step_fn = make_jit_train_step(cfg, mesh=mesh)(ts)
+        summary_fn = make_jit_train_step(cfg, mesh=mesh,
+                                         with_summaries=True)(ts)
+        x_sharding = batch_sharding(mesh)
+
+        if jax.process_count() > 1:
+            # multi-host: each process contributes its local shard of the
+            # global batch (the reference is single-process; SURVEY.md §2c)
+            def put_batch(b):
+                return {k: jax.make_array_from_process_local_data(
+                            x_sharding, v) for k, v in b.items()}
+        else:
+            def put_batch(b):
+                return {k: jax.device_put(v, x_sharding)
+                        for k, v in b.items()}
 
     for step in range(1, 1 + args.num_steps):
         if args.profile and step == 10:
@@ -138,13 +165,16 @@ def main(argv=None):
         ts, metrics = (summary_fn if want_summaries else step_fn)(
             ts, batch, sub)
         if want_summaries:
-            summ = jax.device_get(metrics.pop("summaries"))
             s = int(np.asarray(metrics["step"]))
-            scalars = {k: v for k, v in metrics.items() if k != "step"}
-            scalars["global_norm/gradient_norm"] = summ.pop("grad_norm")
+            scalars = {k: v for k, v in metrics.items()
+                       if k not in ("step", "summaries")}
+            if "summaries" in metrics:   # SP step is scalars-only
+                summ = jax.device_get(metrics.pop("summaries"))
+                scalars["global_norm/gradient_norm"] = summ.pop("grad_norm")
+                writer.histograms(
+                    s, summary_histograms(jax.device_get(ts["params"]),
+                                          summ))
             writer.scalars(s, scalars)
-            writer.histograms(
-                s, summary_histograms(jax.device_get(ts["params"]), summ))
             writer.flush()
         t = time.time() - t0
         gs = int(np.asarray(metrics["step"]))

@@ -119,15 +119,25 @@ def _cycle_pattern(cfg: WavenetConfig):
 
 def wavenet_logits(params, cfg: WavenetConfig, inputs,
                    local_condition=None, global_condition=None,
-                   *, gate_order: str = "tanh_first"):
+                   *, gate_order: str = "tanh_first", pad_mask=None):
     """Teacher-forced logits, unflattened [B, T, Q] (the building block for
     both wavenet_forward and the time-sharded SP path in
-    parallel/timeshard.py)."""
+    parallel/timeshard.py).
+
+    pad_mask: optional [1|B, T, 1] multiplier applied to the residual
+    stream after the preprocess conv and after every layer.  The SP path
+    passes zeros over the first shard's halo so those positions behave
+    exactly like the implicit zero padding a single-device causal conv
+    applies at every layer (biased layers make recomputed halo activations
+    nonzero otherwise, which would leak into both the forward values and
+    the bias gradients at sequence start)."""
     B, T, _ = inputs.shape
     net = mu_law_encode(shift_right(inputs), cfg.quantization_channels)
 
     net = causal_conv1d(net, params["preprocess"]["kernel"],
                         params["preprocess"]["bias"])
+    if pad_mask is not None:
+        net = net * pad_mask
     skip = jnp.einsum("btc,cf->btf", net, params["skip_start"]["kernel"][0],
                       preferred_element_type=jnp.float32)
     skip = skip + params["skip_start"]["bias"]
@@ -156,6 +166,8 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
                                  preferred_element_type=jnp.float32) + p["skip_bias"]
         net = net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
                                preferred_element_type=jnp.float32) + p["res_bias"]
+        if pad_mask is not None:
+            net = net * pad_mask
         return net, skip
 
     pattern = _cycle_pattern(cfg)
