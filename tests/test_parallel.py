@@ -121,6 +121,20 @@ def test_graft_entry_dryrun():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_multihost_batch_construction():
+    """train.py's multi-host branch builds the global batch with
+    jax.make_array_from_process_local_data; at process_count==1 this must
+    equal a plain device_put (the API is identical across hosts — each
+    process passes its local shard)."""
+    mesh = make_mesh(num_data=4, num_model=1, devices=jax.devices()[:4])
+    sharding = batch_sharding(mesh)
+    x = np.arange(4 * 8 * 2, dtype=np.float32).reshape(4, 8, 2)
+    arr = jax.make_array_from_process_local_data(sharding, x)
+    assert arr.shape == (4, 8, 2)
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert arr.sharding.is_equivalent_to(sharding, 3)
+
+
 def test_graft_entry_dryrun_driver_conditions():
     """The driver imports __graft_entry__ and calls dryrun_multichip(8)
     directly — no conftest, no pre-set XLA_FLAGS (MULTICHIP_r01 failed

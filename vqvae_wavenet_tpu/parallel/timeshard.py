@@ -281,7 +281,6 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
     sharded.  Gradients of the ppermute halos flow back automatically
     (collectives are differentiable)."""
     import optax
-    from functools import partial
     from vqvae_wavenet_tpu.training.optimizer import (
         piecewise_constant_schedule, ema_update)
     from vqvae_wavenet_tpu.training.train_loop import _family_optimizer
