@@ -124,3 +124,32 @@ def test_checkpoint_roundtrip(key, tmp_path):
         np.asarray(restored["ema_params"]["decoder"]["preprocess"]["kernel"]),
         np.asarray(ts["ema_params"]["decoder"]["preprocess"]["kernel"]),
         rtol=1e-6)
+
+
+def test_mixed_precision_train_step(key):
+    """train_dtype='bf16': the decoder stack runs in bf16 (f32 labels,
+    loss, optimizer); the loss must track the f32 step closely and the
+    model must still learn."""
+    cfg32 = tiny_cfg()
+    cfg16 = tiny_cfg(train_dtype="bf16")
+    ts32 = init_train_state(key, cfg32, num_speakers=3)
+    ts16 = jax.tree_util.tree_map(lambda x: x.copy(), ts32)
+    batch = make_batch(jax.random.PRNGKey(1))
+
+    _, m32 = train_step(ts32, batch, None, cfg=cfg32)
+    _, m16 = train_step(ts16, batch, None, cfg=cfg16)
+    # identical params/batch: bf16 rounding only
+    np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
+                               rtol=2e-2)
+
+    losses = []
+    ts = ts16
+    from functools import partial
+    step = jax.jit(partial(train_step, cfg=cfg16))
+    for i in range(8):
+        ts, m = step(ts, batch, None)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # params stay f32 (master weights)
+    assert ts["params"]["decoder"]["preprocess"]["kernel"].dtype == jnp.float32

@@ -134,6 +134,11 @@ class ModelConfig:
     # Magenta/nsynth variant, reference Magenta/config.py — hyperparams are
     # module-level constants there, so the JSON needs no further keys).
     model_family: str = "vqvae"
+    # mixed-precision training: "bf16" runs the WaveNet decoder stack (the
+    # FLOP-dominant part) in bfloat16 with f32 accumulation; params, labels,
+    # losses, encoder, VQ and the optimizer stay f32.  Default = reference
+    # behavior (f32 everywhere).
+    train_dtype: str = "f32"
 
     @classmethod
     def from_json(cls, path: str) -> "ModelConfig":
@@ -175,4 +180,5 @@ class ModelConfig:
             condition_upsample=p.get("condition_upsample", False),
             encoder_norm=p.get("encoder_norm", "batch"),
             codebook_init=p.get("codebook_init", "uniform_scaling"),
+            train_dtype=p.get("train_dtype", "f32"),
         )

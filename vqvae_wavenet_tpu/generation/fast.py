@@ -251,6 +251,10 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
         "length must be a multiple of the conditioning frames "
         f"({local_condition.shape[1]})")
 
+    if engine == "pallas" and jax.devices()[0].platform not in ("tpu",
+                                                                "axon"):
+        print("[generate] engine='pallas' needs a TPU; using the XLA scan")
+        engine = "xla"
     use_pallas = engine == "pallas" or (
         engine == "auto" and compute_dtype in (jnp.bfloat16, jnp.int8)
         and _pallas_eligible(params, cfg, local_condition))

@@ -147,7 +147,24 @@ def vqvae_forward(params, state, cfg: ModelConfig, x, y, *, train: bool,
 
     lc = build_local_condition(params, cfg, z_q, y, train=train, rng=rng,
                                target_len=x.shape[1])
-    logits, labels = wavenet_forward(params["decoder"], cfg.wavenet, x, lc)
+    if cfg.train_dtype == "bf16":
+        # mixed precision: the decoder stack (the FLOP-dominant part) runs
+        # in bf16 with f32 accumulation; labels come from the f32 waveform
+        # (mu-law bin edges must not move), loss/softmax stay f32
+        from vqvae_wavenet_tpu.models.wavenet import wavenet_logits
+        from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
+        dec16 = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16), params["decoder"])
+        labels = mu_law_encode(x, cfg.wavenet.quantization_channels,
+                               to_int=True).reshape(-1)
+        logits = wavenet_logits(dec16, cfg.wavenet,
+                                x.astype(jnp.bfloat16),
+                                lc.astype(jnp.bfloat16))
+        logits = logits.astype(jnp.float32).reshape(
+            -1, cfg.wavenet.quantization_channels)
+    else:
+        logits, labels = wavenet_forward(params["decoder"], cfg.wavenet,
+                                         x, lc)
     recon = wavenet_loss(logits, labels)
     loss = recon
     aux["reconstruction_loss"] = recon

@@ -133,11 +133,14 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
     the bias gradients at sequence start)."""
     B, T, _ = inputs.shape
     net = mu_law_encode(shift_right(inputs), cfg.quantization_channels)
+    # mixed precision: bf16 inputs keep the residual stream bf16 (the f32
+    # accumulations below are cast back); skip/logits accumulate in f32
+    compute_dtype = net.dtype
 
     net = causal_conv1d(net, params["preprocess"]["kernel"],
                         params["preprocess"]["bias"])
     if pad_mask is not None:
-        net = net * pad_mask
+        net = net * pad_mask.astype(net.dtype)
     skip = jnp.einsum("btc,cf->btf", net, params["skip_start"]["kernel"][0],
                       preferred_element_type=jnp.float32)
     skip = skip + params["skip_start"]["bias"]
@@ -164,10 +167,11 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
             gated = jax.nn.sigmoid(pre[..., :D]) * jnp.tanh(pre[..., D:])
         skip = skip + jnp.einsum("btc,cf->btf", gated, p["skip_kernel"],
                                  preferred_element_type=jnp.float32) + p["skip_bias"]
-        net = net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
-                               preferred_element_type=jnp.float32) + p["res_bias"]
+        net = (net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
+                                preferred_element_type=jnp.float32)
+               + p["res_bias"]).astype(compute_dtype)
         if pad_mask is not None:
-            net = net * pad_mask
+            net = net * pad_mask.astype(net.dtype)
         return net, skip
 
     pattern = _cycle_pattern(cfg)
@@ -200,7 +204,7 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
 
         (net, skip), _ = lax.scan(layer_step, (net, skip), (lp, dilations))
 
-    net = jax.nn.relu(skip)
+    net = jax.nn.relu(skip).astype(compute_dtype)
     pp1 = params["postprocess1"]
     net = jnp.einsum("btc,cf->btf", net, pp1["kernel"][0],
                      preferred_element_type=jnp.float32) + pp1["bias"]
@@ -211,7 +215,7 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
         if "gc_bias" in pp1:
             net = net + pp1["gc_bias"]
 
-    net = jax.nn.relu(net)
+    net = jax.nn.relu(net).astype(compute_dtype)
     pp2 = params["postprocess2"]
     net = jnp.einsum("btc,cf->btf", net, pp2["kernel"][0],
                      preferred_element_type=jnp.float32) + pp2["bias"]
