@@ -91,6 +91,19 @@ def main():
     jax.block_until_ready(m["loss"])
     train_sps = 10 / (time.perf_counter() - t0)
 
+    # mixed-precision variant (train_dtype='bf16': decoder stack in bf16)
+    import dataclasses
+    mcfg16 = dataclasses.replace(mcfg, train_dtype="bf16")
+    ts16 = init_train_state(jax.random.PRNGKey(3), mcfg16, 109)
+    step16 = make_jit_train_step(mcfg16)
+    ts16, m = step16(ts16, tbatch, None)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        ts16, m = step16(ts16, tbatch, None)
+    jax.block_until_ready(m["loss"])
+    train16_sps = 10 / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "gen_samples_per_sec_per_chip",
         "value": round(fast_sps, 2),
@@ -101,6 +114,7 @@ def main():
         "batch": batch,
         "length": length,
         "train_steps_per_sec_b8_len6656": round(train_sps, 3),
+        "train_steps_per_sec_b8_len6656_bf16": round(train16_sps, 3),
         "backend": jax.devices()[0].platform,
     }))
 
