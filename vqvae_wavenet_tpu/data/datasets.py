@@ -200,13 +200,21 @@ class Dataset:
             return self
         self._queue = queue.Queue(maxsize=self._prefetch)
         self._stop = threading.Event()
+        self._worker_error = None
 
         def worker():
             while not self._stop.is_set():
                 try:
-                    self._queue.put(self.batch(), timeout=0.5)
-                except queue.Full:
-                    continue
+                    item = self.batch()
+                except Exception as e:      # surface in next(), don't hang
+                    self._worker_error = e
+                    return
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -215,7 +223,16 @@ class Dataset:
     def next(self):
         if self._queue is None:
             return self.batch()
-        return self._queue.get()
+        while True:
+            try:
+                return self._queue.get(timeout=1.0)
+            except queue.Empty:
+                # a dead worker (e.g. missing wav) must raise here, not
+                # leave the train loop blocked on an empty queue forever
+                if self._worker_error is not None:
+                    raise RuntimeError(
+                        "dataset prefetch worker failed"
+                    ) from self._worker_error
 
     def stop(self):
         if self._queue is not None:

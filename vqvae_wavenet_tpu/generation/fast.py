@@ -196,6 +196,15 @@ def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
 
 def _pallas_eligible(params, cfg: WavenetConfig, local_condition) -> bool:
     b, _, c = local_condition.shape
+    # shape gates first: the layout helpers below assert 128-alignment
+    if not (jax.devices()[0].platform in ("tpu", "axon")
+            and "lc_kernel" in params["layers"]
+            and cfg.num_layers >= 4
+            and cfg.residual_filters % 128 == 0
+            and cfg.dilation_filters * 2 % 128 == 0
+            and cfg.skip_filters % 128 == 0
+            and cfg.quantization_channels % 128 == 0):
+        return False
     # VMEM budget (bf16): ring + resident res matrices + 4 weight slots +
     # the per-layer gc block; ~128MB VMEM per v5e core, cap well below
     ring_rows = (cfg.kernel_size - 1) * sum(cfg.dilation_rates)
@@ -210,14 +219,7 @@ def _pallas_eligible(params, cfg: WavenetConfig, local_condition) -> bool:
               * cfg.residual_filters * 2 / 2 ** 20)
     gcon_mb = (cfg.num_layers * max(b, 8) * 2 * cfg.dilation_filters
                * 2 / 2 ** 20)
-    return (jax.devices()[0].platform in ("tpu", "axon")
-            and "lc_kernel" in params["layers"]
-            and cfg.num_layers >= 4
-            and cfg.residual_filters % 128 == 0
-            and cfg.dilation_filters * 2 % 128 == 0
-            and cfg.skip_filters % 128 == 0
-            and cfg.quantization_channels % 128 == 0
-            and ring_mb + slots_mb + res_mb + gcon_mb <= 64.0)
+    return ring_mb + slots_mb + res_mb + gcon_mb <= 64.0
 
 
 def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
