@@ -1,36 +1,102 @@
-"""Build a tiny synthetic VCTK-layout corpus for end-to-end drives.
+"""Build a synthetic VCTK-layout corpus for end-to-end drives.
 
-Two "speakers" with distinct fundamentals (p225=220 Hz, p226=440 Hz) so
-voice conversion is verifiable by spectral peak; manifests follow the
-reference's data/vctk_info grammar (reference utils.py:49-116,
-dataset.py:24-60).  Usage:
+Two modes (real VCTK is data-gated in this environment — these stand in
+for it with spectrally verifiable structure):
 
-    python tools/make_synthetic_corpus.py [BASE=/tmp/e2e/data]
+* default: two "speakers" with distinct fundamentals (p225=220 Hz,
+  p226=440 Hz), 3 one-second tones each — voice conversion is then
+  verifiable by spectral peak.  Used by the fast verify drives.
+* --rich: N pseudo-speech speakers for convergence runs.  Each utterance
+  is a glottal-pulse source (sawtooth at a per-speaker f0 with vibrato,
+  jitter, and a syllable-rate amplitude envelope) through per-speaker
+  formant resonators, with fricative-like noise bursts between
+  "syllables" — enough spectral/temporal structure that reconstruction
+  NLL and speaker conversion mean something, while staying fully
+  reproducible (seeded).
+
+Manifests follow the reference's data/vctk_info grammar (reference
+utils.py:49-116, dataset.py:24-60).  Usage:
+
+    python tools/make_synthetic_corpus.py [BASE=/tmp/e2e/data] [--rich]
 """
 import os
 import sys
 
 import numpy as np
 from scipy.io import wavfile
+from scipy.signal import lfilter
+
+SR = 16000
 
 
-def make_corpus(base: str) -> None:
-    sr = 16000
-    t = np.arange(sr) / sr
+def _formant(x, freq, bw):
+    """Second-order resonator at `freq` Hz with bandwidth `bw` Hz."""
+    r = np.exp(-np.pi * bw / SR)
+    theta = 2 * np.pi * freq / SR
+    a = [1.0, -2 * r * np.cos(theta), r * r]
+    return lfilter([1.0 - r], a, x)
+
+
+def _utterance(rng, f0_base, formants, seconds):
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    # f0 contour: slow declination + vibrato + jitter
+    f0 = (f0_base * (1.0 - 0.12 * t / t[-1])
+          * (1.0 + 0.02 * np.sin(2 * np.pi * 5.3 * t))
+          * (1.0 + 0.01 * rng.standard_normal(n).cumsum() / np.sqrt(n)))
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    # sawtooth source (rich harmonics, like glottal pulses)
+    src = 2 * ((phase / (2 * np.pi)) % 1.0) - 1.0
+    voiced = sum(_formant(src, f, bw) for f, bw in formants)
+    # syllable-rate envelope (~3.5 Hz) with randomized syllable strengths
+    syl = 0.5 * (1 + np.sin(2 * np.pi * 3.5 * t + rng.uniform(0, 6.28)))
+    env = syl ** 1.5
+    out = voiced * env
+    # fricative-like noise bursts in the envelope troughs
+    noise = rng.standard_normal(n)
+    noise = _formant(noise, 4500.0, 2000.0)
+    out = out + 0.6 * noise * np.clip(0.35 - syl, 0, None)
+    out = out / (np.abs(out).max() + 1e-9)
+    return (out * 0.6).astype(np.float32)
+
+
+def make_corpus(base: str, rich: bool = False) -> None:
+    rng = np.random.default_rng(0)
+    t = np.arange(SR) / SR
     os.makedirs(f"{base}/vctk_info", exist_ok=True)
-    for spk, f0 in (("p225", 220.0), ("p226", 440.0)):
-        os.makedirs(f"{base}/VCTK-Corpus/wav48/{spk}", exist_ok=True)
-        for i in range(3):
-            wav = (0.5 * np.sin(2 * np.pi * f0 * t + i)
-                   + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)).astype(np.float32)
-            path = f"{base}/VCTK-Corpus/wav48/{spk}/{spk}_{i:03d}.wav"
-            wavfile.write(path, sr, (wav * 20000).astype(np.int16))
-    with open(f"{base}/vctk_info/vctk_train.txt", "w") as f:
-        for spk in ("p225", "p226"):
+    if rich:
+        n_speakers, n_utts = 10, 20
+        spk_names = [f"p{225 + i}" for i in range(n_speakers)]
+        files = []
+        for i, spk in enumerate(spk_names):
+            os.makedirs(f"{base}/VCTK-Corpus/wav48/{spk}", exist_ok=True)
+            f0 = 120.0 + 18.0 * i                 # 120..282 Hz
+            formants = [(500 + 40 * i, 90), (1500 + 90 * i, 120),
+                        (2500 + 60 * i, 160)]
+            for j in range(n_utts):
+                wav = _utterance(rng, f0 * (1 + 0.04 * (j % 3 - 1)),
+                                 formants, seconds=rng.uniform(1.5, 3.0))
+                rel = f"wav48/{spk}/{spk}_{j:03d}.wav"
+                wavfile.write(f"{base}/VCTK-Corpus/{rel}", SR,
+                              (wav * 24000).astype(np.int16))
+                files.append(rel)
+    else:
+        spk_names = ["p225", "p226"]
+        files = []
+        for spk, f0 in (("p225", 220.0), ("p226", 440.0)):
+            os.makedirs(f"{base}/VCTK-Corpus/wav48/{spk}", exist_ok=True)
             for i in range(3):
-                f.write(f"wav48/{spk}/{spk}_{i:03d}.wav\n")
+                wav = (0.5 * np.sin(2 * np.pi * f0 * t + i)
+                       + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
+                       ).astype(np.float32)
+                rel = f"wav48/{spk}/{spk}_{i:03d}.wav"
+                wavfile.write(f"{base}/VCTK-Corpus/{rel}", SR,
+                              (wav * 20000).astype(np.int16))
+                files.append(rel)
+    with open(f"{base}/vctk_info/vctk_train.txt", "w") as f:
+        f.write("\n".join(files) + "\n")
     # generate.py pins 109 speakers for VCTK checkpoint-shape parity
-    speakers = ["p225", "p226"] + [f"p{300 + i}" for i in range(107)]
+    speakers = spk_names + [f"p{300 + i}" for i in range(109 - len(spk_names))]
     with open(f"{base}/vctk_info/vctk_speakers.txt", "w") as f:
         f.write("\n".join(speakers) + "\n")
     with open(f"{base}/vctk_info/vctk_speaker_info.txt", "w") as f:
@@ -40,8 +106,11 @@ def make_corpus(base: str) -> None:
                     f"  English  Universal\n")
     with open(f"{base}/vctk_info/vctk_too_short.txt", "w") as f:
         f.write("")
-    print(f"synthetic corpus ready at {base}")
+    print(f"synthetic corpus ready at {base} "
+          f"({len(files)} wavs, {len(spk_names)} speakers)")
 
 
 if __name__ == "__main__":
-    make_corpus(sys.argv[1] if len(sys.argv) > 1 else "/tmp/e2e/data")
+    argv = [a for a in sys.argv[1:] if a != "--rich"]
+    make_corpus(argv[0] if argv else "/tmp/e2e/data",
+                rich="--rich" in sys.argv)

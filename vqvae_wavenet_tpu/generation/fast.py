@@ -266,9 +266,8 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
               f"batch={local_condition.shape[0]}")
     if use_pallas:
         from vqvae_wavenet_tpu.ops.gen_pallas import generate_pallas
-        seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
         return generate_pallas(params, cfg, local_condition, length=length,
-                               seed=seed, mode=mode, dtype=compute_dtype,
+                               key=key, mode=mode, dtype=compute_dtype,
                                gate_order=gate_order,
                                global_condition=global_condition)
     if compute_dtype == jnp.int8:

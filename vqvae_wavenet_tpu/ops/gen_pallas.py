@@ -329,20 +329,38 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                 else:   # sigmoid_first — Magenta/config.py:345-348
                     gated = (jax.nn.sigmoid(pre[:, :D])
                              * jnp.tanh(pre[:, D:2 * D])).astype(act_dtype)
-                skip = skip + jnp.dot(
-                    gated, a[r0 + lay["off_skip"]:r0 + lay["off_skip"] + D,
-                             :S],
-                    preferred_element_type=jnp.float32, precision=prec) \
-                    + a[r0 + lay["off_skip_bias"], :S].astype(jnp.float32)
-                # push this layer's input, then residual-update
+                # push this layer's input, then skip + residual-update
                 ring[pl.ds(off + jax.lax.rem(t, size), 1)] = current[None]
-                res = res_ref[pl.ds(l, 1)][0]                # [res_rows, R]
-                current = (current.astype(jnp.float32)
-                           + jnp.dot(gated, res[:D, :],
-                                     preferred_element_type=jnp.float32,
-                                     precision=prec)
-                           + res[lay["off_res_bias"], :].astype(jnp.float32)
-                           ).astype(act_dtype)
+                if resident:
+                    # the skip and res matmuls both consume `gated`: fuse
+                    # them into ONE [B, D] x [D, S+R] dot against the
+                    # lane-concatenated [skip | res] block — the step is
+                    # issue-overhead-bound on ~90 small serial dots, and
+                    # each output column touches exactly one of the two
+                    # blocks so the f32 accumulation is bit-identical
+                    sr = res_ref[l]                  # [sr_rows, S + R]
+                    fused = jnp.dot(gated, sr[:D, :],
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec) \
+                        + sr[lay["off_res_bias"], :].astype(jnp.float32)
+                    skip = skip + fused[:, :S]
+                    current = (current.astype(jnp.float32)
+                               + fused[:, S:S + R]).astype(act_dtype)
+                else:
+                    skip = skip + jnp.dot(
+                        gated, a[r0 + lay["off_skip"]:
+                                 r0 + lay["off_skip"] + D, :S],
+                        preferred_element_type=jnp.float32,
+                        precision=prec) \
+                        + a[r0 + lay["off_skip_bias"], :S].astype(jnp.float32)
+                    res = res_ref[pl.ds(l, 1)][0]            # [res_rows, R]
+                    current = (current.astype(jnp.float32)
+                               + jnp.dot(gated, res[:D, :],
+                                         preferred_element_type=jnp.float32,
+                                         precision=prec)
+                               + res[lay["off_res_bias"], :].astype(
+                                   jnp.float32)
+                               ).astype(act_dtype)
             return current, skip
 
         if resident:
@@ -391,10 +409,43 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "lc_channels", "length",
                                              "mode", "dtype", "gate_order"))
-def _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1, seed, *,
+def _generate_pallas_jit(params, local_condition, global_condition, key, *,
                          cfg: WavenetConfig, lc_channels: int, length: int,
                          mode: str, dtype, gate_order: str = "tanh_first"):
-    t_cond, batch, _ = lc.shape
+    """Pack + launch + decode under ONE jit: a generate() call costs a
+    single dispatch.  (The packing/gc/seed/decode ops used to run eagerly
+    per call — dozens of small dispatches through the TPU tunnel, tens of
+    ms of per-call overhead that dwarfed the kernel itself on short
+    clips.)"""
+    from vqvae_wavenet_tpu.ops.mu_law import mu_law_decode
+    b, t_cond, _ = local_condition.shape
+    lc = jnp.transpose(local_condition, (1, 0, 2))      # [T_cond, B, C]
+    a, res, scales, small = pack_gen_params(params, cfg, lc_channels, dtype)
+
+    L, D, S = cfg.num_layers, cfg.dilation_filters, cfg.skip_filters
+    cdt = jnp.bfloat16 if dtype == jnp.int8 else dtype
+    lp = params["layers"]
+    if global_condition is not None and "gc_kernel" in lp:
+        # gc is constant per clip: precompute its per-layer 1x1
+        # contributions (+ biases) into a resident [L, B, 2D] block
+        gvec = global_condition[:, 0, :].astype(jnp.float32)     # [B, C_gc]
+        gcon = jnp.einsum("bc,lcd->lbd", gvec,
+                          lp["gc_kernel"].astype(jnp.float32))
+        if "gc_bias" in lp:
+            gcon = gcon + lp["gc_bias"].astype(jnp.float32)[:, None, :]
+        pp1 = params["postprocess1"]
+        g_pp1 = jnp.zeros((b, S), jnp.float32)
+        if "gc_kernel" in pp1:
+            g_pp1 = gvec @ pp1["gc_kernel"].astype(jnp.float32)
+            if "gc_bias" in pp1:
+                g_pp1 = g_pp1 + pp1["gc_bias"].astype(jnp.float32)
+        gcon, g_pp1 = gcon.astype(cdt), g_pp1.astype(cdt)
+    else:
+        gcon = jnp.zeros((L, b, 2 * D), cdt)
+        g_pp1 = jnp.zeros((b, S), cdt)
+
+    seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, jnp.int32)
+    batch = b
     offs, dils, sizes, total_p = _ring_tables(cfg)
     # Fully-resident mode: the packed weights live in VMEM for the whole
     # clip (v5e has ~128MB VMEM — measured, not the 16MB of older guides),
@@ -402,9 +453,25 @@ def _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1, seed, *,
     # the 4-slot DMA pipeline when the model doesn't fit (or for int8).
     ring_bytes = (_ring_tables(cfg)[3] * batch * cfg.residual_filters
                   * (2 if dtype != jnp.float32 else 4))
-    resident_bytes = (a.size * a.dtype.itemsize + res.size * res.dtype.itemsize
+    lay = _layout(cfg, lc_channels)
+    S, R, D = cfg.skip_filters, cfg.residual_filters, cfg.dilation_filters
+    sr_bytes = (cfg.num_layers * lay["res_rows"] * (S + R)
+                * res.dtype.itemsize)
+    resident_bytes = (a.size * a.dtype.itemsize + sr_bytes
                       + ring_bytes + lc.size * lc.dtype.itemsize)
     resident = dtype != jnp.int8 and resident_bytes <= 96 * 2 ** 20
+    if resident:
+        # lane-concatenate the skip and res 1x1 kernels (+bias row) into one
+        # [L, res_rows, S+R] block so the kernel issues ONE dot for both
+        sr = jnp.zeros((cfg.num_layers, lay["res_rows"], S + R), res.dtype)
+        sr = sr.at[:, :D, :S].set(
+            a[:, lay["off_skip"]:lay["off_skip"] + D, :S].astype(res.dtype))
+        sr = sr.at[:, :D, S:].set(res[:, :D, :])
+        sr = sr.at[:, lay["off_res_bias"], :S].set(
+            a[:, lay["off_skip_bias"], :S].astype(res.dtype))
+        sr = sr.at[:, lay["off_res_bias"], S:].set(
+            res[:, lay["off_res_bias"], :])
+        res = sr
 
     # group G layers per block: [L, rows, cols] -> [L/G, G*rows, cols]
     # (row-contiguous, so the reshape is layout-preserving).  Streaming
@@ -467,58 +534,37 @@ def _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1, seed, *,
             # the 4 G-layer weight slots + ring exceed Mosaic's default
             # 16MB scoped-vmem stack limit at large L
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(jnp.asarray(offs), jnp.asarray(dils), jnp.asarray(sizes),
-      jnp.asarray([seed], jnp.int32),
+    )(jnp.asarray(offs), jnp.asarray(dils), jnp.asarray(sizes), seed,
       a, res, scales, lc, small["w_pre"], small["b_pre"], small["w_ss"],
       small["b_ss"],
       small["w_pp1"], small["b_pp1"], small["w_pp1_lc"], small["w_pp2"],
       small["b_pp2"], gcon, g_pp1)
-    return bins
+    bins = bins[:length, :batch]
+    return mu_law_decode(bins.T, cfg.quantization_channels)
 
 
 def generate_pallas(params, cfg: WavenetConfig, local_condition, *,
-                    length: int, seed: int = 0, mode: str = "sample",
-                    dtype=jnp.bfloat16, gate_order: str = "tanh_first",
-                    global_condition=None):
+                    length: int, seed: int = 0, key=None,
+                    mode: str = "sample", dtype=jnp.bfloat16,
+                    gate_order: str = "tanh_first", global_condition=None):
     """Whole-clip generation in one Pallas kernel.
 
     local_condition: [B, T_cond, C].  Returns float waveform [B, length].
     dtype: float32 (exact verification) | bfloat16 (default) | int8
     (per-row-quantized weight streaming: ~2x fewer HBM bytes per step,
     slightly lossy — opt-in for maximum throughput).
+    key: jax PRNG key for 'sample' mode (preferred; `seed` is the
+    back-compat scalar form used when key is None).
     global_condition: [B, 1, C_gc] or None.  gc is constant per clip, so
-    its per-layer 1x1 contributions (+ biases) are precomputed host-side
-    into a resident [L, B, 2D] block added inside the layer loop — no
-    extra per-step HBM traffic.
+    its per-layer 1x1 contributions (+ biases) are precomputed into a
+    resident [L, B, 2D] block added inside the layer loop — no extra
+    per-step HBM traffic.
     """
-    from vqvae_wavenet_tpu.ops.mu_law import mu_law_decode
     b, t_cond, c = local_condition.shape
     assert length % t_cond == 0
-    lc = jnp.transpose(local_condition, (1, 0, 2))  # [T_cond, B, C]
-    a, res, scales, small = pack_gen_params(params, cfg, c, dtype)
-
-    L, D, S = cfg.num_layers, cfg.dilation_filters, cfg.skip_filters
-    cdt = jnp.bfloat16 if dtype == jnp.int8 else dtype
-    lp = params["layers"]
-    if global_condition is not None and "gc_kernel" in lp:
-        gvec = global_condition[:, 0, :].astype(jnp.float32)     # [B, C_gc]
-        gcon = jnp.einsum("bc,lcd->lbd", gvec,
-                          lp["gc_kernel"].astype(jnp.float32))
-        if "gc_bias" in lp:
-            gcon = gcon + lp["gc_bias"].astype(jnp.float32)[:, None, :]
-        pp1 = params["postprocess1"]
-        g_pp1 = jnp.zeros((b, S), jnp.float32)
-        if "gc_kernel" in pp1:
-            g_pp1 = gvec @ pp1["gc_kernel"].astype(jnp.float32)
-            if "gc_bias" in pp1:
-                g_pp1 = g_pp1 + pp1["gc_bias"].astype(jnp.float32)
-        gcon, g_pp1 = gcon.astype(cdt), g_pp1.astype(cdt)
-    else:
-        gcon = jnp.zeros((L, b, 2 * D), cdt)
-        g_pp1 = jnp.zeros((b, S), cdt)
-
-    bins = _generate_pallas_jit(a, res, scales, small, lc, gcon, g_pp1,
-                                seed, cfg=cfg, lc_channels=c, length=length,
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+    return _generate_pallas_jit(params, local_condition, global_condition,
+                                key, cfg=cfg, lc_channels=c, length=length,
                                 mode=mode, dtype=dtype,
-                                gate_order=gate_order)[:length, :b]
-    return mu_law_decode(bins.T, cfg.quantization_channels)
+                                gate_order=gate_order)
