@@ -76,8 +76,8 @@ def make_corpus(base: str, rich: bool = False) -> None:
             for j in range(n_utts):
                 wav = _utterance(rng, f0 * (1 + 0.04 * (j % 3 - 1)),
                                  formants, seconds=rng.uniform(1.5, 3.0))
-                rel = f"wav48/{spk}/{spk}_{j:03d}.wav"
-                wavfile.write(f"{base}/VCTK-Corpus/{rel}", SR,
+                rel = f"{spk}/{spk}_{j:03d}.wav"
+                wavfile.write(f"{base}/VCTK-Corpus/wav48/{rel}", SR,
                               (wav * 24000).astype(np.int16))
                 files.append(rel)
     else:
@@ -89,16 +89,17 @@ def make_corpus(base: str, rich: bool = False) -> None:
                 wav = (0.5 * np.sin(2 * np.pi * f0 * t + i)
                        + 0.1 * np.sin(2 * np.pi * 2 * f0 * t)
                        ).astype(np.float32)
-                rel = f"wav48/{spk}/{spk}_{i:03d}.wav"
-                wavfile.write(f"{base}/VCTK-Corpus/{rel}", SR,
+                rel = f"{spk}/{spk}_{i:03d}.wav"
+                wavfile.write(f"{base}/VCTK-Corpus/wav48/{rel}", SR,
                               (wav * 20000).astype(np.int16))
                 files.append(rel)
     with open(f"{base}/vctk_info/vctk_train.txt", "w") as f:
         f.write("\n".join(files) + "\n")
-    # generate.py pins 109 speakers for VCTK checkpoint-shape parity
+    # generate.py pins 109 speakers for VCTK checkpoint-shape parity;
+    # grammar is 'name, index' (reference utils.py:93-100)
     speakers = spk_names + [f"p{300 + i}" for i in range(109 - len(spk_names))]
     with open(f"{base}/vctk_info/vctk_speakers.txt", "w") as f:
-        f.write("\n".join(speakers) + "\n")
+        f.write("\n".join(f"{s}, {i}" for i, s in enumerate(speakers)) + "\n")
     with open(f"{base}/vctk_info/vctk_speaker_info.txt", "w") as f:
         f.write("ID  AGE  GENDER  ACCENTS  REGION COMMENTS\n")
         for i, s in enumerate(speakers):
