@@ -39,6 +39,11 @@ def parse_args(argv=None):
                         dest="save_path")
     parser.add_argument("-lr", default=1e-3, type=float)
     parser.add_argument("-interval", default=200, type=int)
+    parser.add_argument("-log_every", default=0, type=int, metavar="N",
+                        help="fetch+print the nll line every N steps "
+                             "(0 = auto: 1 on CPU, 20 on TPU; a per-step "
+                             "device fetch costs more than the step over "
+                             "the remote-TPU tunnel — PERF.md #16)")
     # sampling flags
     parser.add_argument("-prior", dest="prior_path",
                         help="trained prior checkpoint; enables sampling")
@@ -150,16 +155,21 @@ def main(argv=None):
     prior_params = prior_init
     opt_state = opt.init(prior_params)
     os.makedirs(args.save_path, exist_ok=True)
+    log_every = args.log_every or (
+        1 if jax.devices()[0].platform == "cpu" else 20)
+    t_win = time.time()
     for step in range(1, 1 + args.num_steps):
-        t0 = time.time()
         batch = dataset.next()
         prior_params, opt_state, loss = step_fn(
             prior_params, opt_state, jnp.asarray(batch["x"]),
             jnp.asarray(batch["y"]))
-        t = time.time() - t0
-        print(f"\r[prior step {step}] [nll {float(loss):.5f}] "
-              f"[batch {t:.3f}s]", end="")
-        sys.stdout.flush()
+        if step % log_every == 0 or step == args.num_steps:
+            now = time.time()
+            t = (now - t_win) / log_every
+            t_win = now
+            print(f"\r[prior step {step}] [nll {float(loss):.5f}] "
+                  f"[batch {t:.3f}s]", end="")
+            sys.stdout.flush()
     dataset.stop()
     path = os.path.abspath(os.path.join(args.save_path,
                                         f"weights-{args.num_steps}"))

@@ -1,29 +1,35 @@
 """Pallas TPU kernel: the ENTIRE autoregressive WaveNet generation loop.
 
 The XLA scan path (generation/fast.py) already replaces the reference's
-one-sess.run-per-sample loop with one device program, but each of its steps
-still pays XLA loop/dispatch overheads around ~60 small matmuls.  At small
-batch the step is weight-streaming-bound: every sample must read all ~40MB
-(bf16) of decoder weights from HBM.  This kernel turns the whole clip into
-ONE pallas_call whose grid is the sample index:
+one-sess.run-per-sample loop (generate.py:108-113) with one device
+program, but each of its steps still pays XLA loop/dispatch overheads
+around ~60 small matmuls.  This kernel turns the whole clip into ONE
+pallas_call whose grid is the sample index:
 
-  * per-layer weights are packed into two row-aligned HBM arrays
-    ([L, 1168, 512] and [L, 272, 256] bf16 for the shipped config) and
-    DOUBLE-BUFFERED into VMEM with async DMA — layer l+1 streams in while
-    layer l computes, continuing seamlessly across sample boundaries, so
-    the DMA engine runs at full HBM bandwidth;
+  * RESIDENT mode (default when model+ring fit in ~96MB of the v5e's
+    ~128MB VMEM): the packed weights live in VMEM for the whole clip —
+    zero per-step HBM weight traffic; the layer loop is fully unrolled
+    (static ring offsets); the taps+lc conv issues as one fused
+    [B, K*R+C]x[K*R+C, 2D] dot and the skip+res 1x1s as one
+    [B, D]x[D, S+R] dot against a lane-concatenated block (PERF.md
+    #10-#13: 13-18 us/sample on the shipped 30-layer model);
+  * STREAMED fallback (model too big for VMEM, or int8): per-layer
+    weights packed into row-aligned HBM arrays are rotated through 4
+    VMEM slots with async DMA, 3 transfers outstanding, continuing
+    seamlessly across sample boundaries;
   * the fast-WaveNet ring buffers live entirely in VMEM scratch (flat
     [sum((K-1)d), B, R]), with per-layer offsets/dilations in SMEM via
     scalar prefetch;
   * sampling happens in-kernel: Gumbel-max over the logits using the TPU
     PRNG (pltpu.prng_random_bits), or argmax for greedy — so the sampled
-    mu-law bin feeds the next step without leaving the core.
+    mu-law bin feeds the next step without leaving the core;
+  * packing, gc precompute, seed derivation, and mu-law decode all run
+    under the SAME jit as the kernel launch: one host dispatch per clip.
 
-Scope: B small enough that the ring fits VMEM (B <= 4 for the shipped
-config); generation/fast.py::generate(engine=...) dispatches here on TPU
-and falls back to the XLA scan otherwise.  Sampling uses the hardware PRNG
-stream (a different stream than jax.random — same distribution); greedy
-mode matches the XLA path's outputs.
+generation/fast.py::generate(engine=...) dispatches here on TPU and falls
+back to the XLA scan otherwise.  Sampling uses the hardware PRNG stream
+(a different stream than jax.random — same distribution); greedy mode
+matches the XLA path's outputs.
 """
 from __future__ import annotations
 
