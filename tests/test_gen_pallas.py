@@ -98,6 +98,42 @@ def test_pallas_batch2_greedy(key, interpret_pallas):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_pallas_batch8_greedy(key, interpret_pallas):
+    """B=8 through the RESIDENT path (batch is only ring-VMEM-bound since
+    the weights stopped being streamed; hardware runs B=8 at ~462k
+    aggregate samples/s, PERF.md)."""
+    cfg = tiny_cfg()
+    B = 8
+    params = init_wavenet_params(key, cfg, lc_channels=128)
+    lc = jax.random.normal(jax.random.PRNGKey(5), (B, 4, 128)) * 0.3
+    ref = np.asarray(fast.generate(params, cfg, lc, length=16,
+                                   mode="greedy"))
+    got = np.asarray(gen_pallas.generate_pallas(
+        params, cfg, lc, length=16, mode="greedy", dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_pallas_streamed_fallback_greedy(key, interpret_pallas, monkeypatch):
+    """Force the 4-slot DMA weight-streaming path (used for models larger
+    than VMEM and for int8) and check greedy parity — resident mode would
+    otherwise always win on test-sized configs."""
+    monkeypatch.setattr(gen_pallas, "_RESIDENT_BUDGET_MB", 0.0)
+    cfg = WavenetConfig(
+        quantization_channels=256, num_cycles=2, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 8, 1, 2, 4, 8], kernel_size=2,
+        dilation_filters=64, skip_filters=128, residual_filters=128,
+        preprocess_kernel_size=4, preprocess_filters=128)
+    params = init_wavenet_params(key, cfg, lc_channels=128)
+    lc = jax.random.normal(jax.random.PRNGKey(6), (1, 4, 128)) * 0.3
+    ref = np.asarray(fast.generate(params, cfg, lc, length=40,
+                                   mode="greedy"))
+    got = np.asarray(gen_pallas.generate_pallas(
+        params, cfg, lc, length=40, mode="greedy", dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_int8_pack_roundtrip(key):
     """Per-row int8 quantization reconstructs weights to ~1% relative."""
     cfg = tiny_cfg()

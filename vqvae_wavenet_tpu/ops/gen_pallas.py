@@ -54,6 +54,10 @@ def _round_up(x: int, m: int) -> int:
 # res matrices + lc share it)
 _SLOT_BUDGET_MB = 24.0
 
+# weights + ring must fit under this to skip the DMA stream entirely
+# (module-level so tests can force the streamed fallback)
+_RESIDENT_BUDGET_MB = 96.0
+
 
 def _layers_per_dma(cfg: WavenetConfig, lc_channels: int, itemsize: int) -> int:
     """Group G consecutive layers into each streamed DMA block.
@@ -465,7 +469,8 @@ def _generate_pallas_jit(params, local_condition, global_condition, key, *,
                 * res.dtype.itemsize)
     resident_bytes = (a.size * a.dtype.itemsize + sr_bytes
                       + ring_bytes + lc.size * lc.dtype.itemsize)
-    resident = dtype != jnp.int8 and resident_bytes <= 96 * 2 ** 20
+    resident = (dtype != jnp.int8
+                and resident_bytes <= _RESIDENT_BUDGET_MB * 2 ** 20)
     if resident:
         # lane-concatenate the skip and res 1x1 kernels (+bias row) into one
         # [L, res_rows, S+R] block so the kernel issues ONE dot for both
