@@ -205,14 +205,21 @@ def _pallas_eligible(params, cfg: WavenetConfig, local_condition) -> bool:
             and cfg.skip_filters % 128 == 0
             and cfg.quantization_channels % 128 == 0):
         return False
-    # VMEM budget (bf16): ring + resident res matrices + 4 weight slots +
-    # the per-layer gc block; ~128MB VMEM per v5e core, cap well below
+    # VMEM budget (bf16): the kernel runs fully-RESIDENT when weights +
+    # ring fit its budget, else falls back to the 4-slot DMA stream; this
+    # gate mirrors both (~128MB VMEM per v5e core, caps well below)
+    from vqvae_wavenet_tpu.ops.gen_pallas import (
+        _layers_per_dma, _RESIDENT_BUDGET_MB)
     ring_rows = (cfg.kernel_size - 1) * sum(cfg.dilation_rates)
     ring_mb = ring_rows * b * cfg.residual_filters * 2 / 2 ** 20
     a_cols = max(2 * cfg.dilation_filters, cfg.skip_filters)
     a_rows = (cfg.kernel_size * cfg.residual_filters + c
               + cfg.dilation_filters + 2)
-    from vqvae_wavenet_tpu.ops.gen_pallas import _layers_per_dma
+    a_mb = cfg.num_layers * a_rows * a_cols * 2 / 2 ** 20
+    sr_mb = (cfg.num_layers * (cfg.dilation_filters + 16)
+             * (cfg.skip_filters + cfg.residual_filters) * 2 / 2 ** 20)
+    if ring_mb + a_mb + sr_mb <= _RESIDENT_BUDGET_MB:
+        return True                                  # resident mode fits
     g = _layers_per_dma(cfg, c, 2)
     slots_mb = 4 * g * a_rows * a_cols * 2 / 2 ** 20
     res_mb = (cfg.num_layers * (cfg.dilation_filters + 16)
