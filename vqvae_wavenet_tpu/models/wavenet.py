@@ -159,7 +159,7 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
     # connection: collect gated [B,T,D] per layer and contract the concat
     # [B,T,L*D] against the stacked skip kernels in ONE [L*D, S] matmul
     # instead of streaming the f32 [B,T,S] accumulator through all L
-    # layers.  Measured 86.9 -> 56.2 ms decoder fwd+bwd (PERF.md #13).
+    # layers.  Measured 86.9 -> 56.2 ms decoder fwd+bwd (PERF.md #15).
     # The f32 path keeps the reference's exact per-layer accumulation.
     fused_skip = compute_dtype == jnp.bfloat16 and cfg.num_layers <= 64
 
@@ -191,7 +191,7 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
     pattern = _cycle_pattern(cfg)
     if cfg.num_layers <= 64:
         # fully unrolled: ~30% faster backward than the cycle-scan (the
-        # scan's carry stacking/replay dominates, PERF.md #12); compile is
+        # scan's carry stacking/replay dominates, PERF.md #14); compile is
         # ~22 s for 30 layers — cheap at this depth.  The scans below
         # remain for very deep configs where compile time would bite.
         gateds = []
