@@ -39,6 +39,18 @@ def parse_args(argv=None):
                         dest="save_path")
     parser.add_argument("-lr", default=1e-3, type=float)
     parser.add_argument("-interval", default=200, type=int)
+    parser.add_argument("-ckpt_interval", default=2000, type=int,
+                        help="steps between periodic async prior "
+                             "checkpoints (failure-recovery parity with "
+                             "the main trainer)")
+    parser.add_argument("-prior_restore", default=None, metavar="PATH",
+                        help="resume prior TRAINING from a prior "
+                             "checkpoint (weights-<step> dir, or the save "
+                             "dir for latest)")
+    parser.add_argument("-ema", default=0.999, type=float, dest="ema_decay",
+                        help="EMA decay for prior shadow params (sampling "
+                             "prefers the shadow, like the main model's "
+                             "generate path, model.py:33); 0 disables")
     parser.add_argument("-log_every", default=0, type=int, metavar="N",
                         help="fetch+print the nll line every N steps "
                              "(0 = auto: 1 on CPU, 20 on TPU; a per-step "
@@ -54,6 +66,35 @@ def parse_args(argv=None):
     parser.add_argument("-mode", default="sample")
     parser.add_argument("-temperature", default=1.0, type=float)
     return parser.parse_args(argv)
+
+
+def _restore_prior_for_sampling(path, prior_init, opt=None):
+    """Restore prior params for sampling.
+
+    Prefers the EMA shadow when the checkpoint carries one (matching the
+    main model's generate-time EMA restore, model.py:33 +
+    generate.py:88-90); accepts both the full-train-state format written
+    by this trainer and the bare-params format of earlier versions."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import orbax.checkpoint as ocp
+    import os
+    from vqvae_wavenet_tpu.training.checkpoint import restore_checkpoint
+
+    opt = opt or optax.adam(1e-3)
+    base = {"params": prior_init, "opt_state": opt.init(prior_init),
+            "step": jnp.zeros((), jnp.int32)}
+    with_ema = dict(base, ema_params=jax.tree_util.tree_map(jnp.copy,
+                                                            prior_init))
+    for template in (with_ema, base):
+        try:
+            st = restore_checkpoint(path, template)
+            return st.get("ema_params", st["params"])
+        except Exception:
+            continue
+    with ocp.StandardCheckpointer() as ckptr:    # legacy bare params
+        return ckptr.restore(os.path.abspath(path), prior_init)
 
 
 def main(argv=None):
@@ -101,9 +142,8 @@ def main(argv=None):
         from generate import speaker_one_hots
         from scipy.io import wavfile
 
-        with ocp.StandardCheckpointer() as ckptr:
-            prior_params = ckptr.restore(os.path.abspath(args.prior_path),
-                                         prior_init)
+        prior_params = _restore_prior_for_sampling(args.prior_path,
+                                                   prior_init, opt=None)
         b = args.sample
         if args.speakers:
             y, _ = speaker_one_hots(args.speakers, args.data_path)
@@ -135,8 +175,23 @@ def main(argv=None):
         print(f"wrote {b} sampled wav(s) to {out_dir}")
         return
 
-    # ---- training: encode batches to codes, maximize code likelihood
+    # ---- training: encode batches to codes, maximize code likelihood.
+    # Failure-recovery parity with the main trainer: full train state
+    # (params, optional EMA shadows, opt state, step) checkpointed
+    # periodically and asynchronously; -prior_restore resumes.
+    from vqvae_wavenet_tpu.training.checkpoint import save_checkpoint
+    from vqvae_wavenet_tpu.training.metrics import MetricWriter
+
     opt = optax.adam(args.lr)
+    state = {"params": prior_init, "opt_state": opt.init(prior_init),
+             "step": jnp.zeros((), jnp.int32)}
+    ema_decay = args.ema_decay
+    if ema_decay > 0:
+        state["ema_params"] = jax.tree_util.tree_map(jnp.copy, prior_init)
+    if args.prior_restore is not None:
+        state = restore_checkpoint(args.prior_restore, state)
+    gs = int(np.asarray(state["step"]))
+    print(f"[prior restore] last prior step: {gs}")
 
     def encode_codes(x, y):
         z_e, _ = enc.encoder_forward(cfg.encoder, vq_params["encoder"],
@@ -146,35 +201,56 @@ def main(argv=None):
         return q["q_z_x"], speaker_vector(vq_params, cfg, y)
 
     @jax.jit
-    def step_fn(prior_params, opt_state, x, y):
+    def step_fn(state, x, y):
         codes, h = encode_codes(x, y)
-        loss, grads = jax.value_and_grad(prior_loss)(prior_params, codes, h)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(prior_params, updates), opt_state, loss
+        loss, grads = jax.value_and_grad(prior_loss)(state["params"],
+                                                     codes, h)
+        updates, opt_state = opt.update(grads, state["opt_state"])
+        params = optax.apply_updates(state["params"], updates)
+        new = dict(state, params=params, opt_state=opt_state,
+                   step=state["step"] + 1)
+        if "ema_params" in state:
+            new["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                state["ema_params"], params)
+        # code-usage observability (the prior's analogue of the VQ
+        # perplexity metric, Magenta/sonnet.py:105-106): empirical code
+        # distribution of this batch -> perplexity + fraction-used
+        p = jnp.mean(jax.nn.one_hot(codes, cfg.k), axis=(0, 1))
+        perplexity = jnp.exp(-jnp.sum(p * jnp.log(p + 1e-10)))
+        usage = jnp.mean((p > 0).astype(jnp.float32))
+        return new, {"nll": loss, "code_perplexity": perplexity,
+                     "code_usage": usage}
 
-    prior_params = prior_init
-    opt_state = opt.init(prior_params)
     os.makedirs(args.save_path, exist_ok=True)
+    writer = MetricWriter(args.save_path)
     log_every = args.log_every or (
         1 if jax.devices()[0].platform == "cpu" else 20)
     t_win = time.time()
+    last_print = 0
+    metrics = {}
     for step in range(1, 1 + args.num_steps):
         batch = dataset.next()
-        prior_params, opt_state, loss = step_fn(
-            prior_params, opt_state, jnp.asarray(batch["x"]),
-            jnp.asarray(batch["y"]))
+        state, metrics = step_fn(state, jnp.asarray(batch["x"]),
+                                 jnp.asarray(batch["y"]))
+        if (gs + step) % args.interval == 0:
+            writer.scalars(gs + step,
+                           {f"prior/{k}": v for k, v in metrics.items()})
+            writer.flush()
         if step % log_every == 0 or step == args.num_steps:
             now = time.time()
-            t = (now - t_win) / log_every
-            t_win = now
-            print(f"\r[prior step {step}] [nll {float(loss):.5f}] "
+            t = (now - t_win) / (step - last_print)
+            t_win, last_print = now, step
+            print(f"\r[prior step {gs + step}] "
+                  f"[nll {float(metrics['nll']):.5f}] "
+                  f"[perplexity {float(metrics['code_perplexity']):.1f}] "
                   f"[batch {t:.3f}s]", end="")
             sys.stdout.flush()
+        if step % args.ckpt_interval == 0:
+            save_checkpoint(args.save_path, state)   # async
     dataset.stop()
-    path = os.path.abspath(os.path.join(args.save_path,
-                                        f"weights-{args.num_steps}"))
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(prior_params), force=True)
+    path = save_checkpoint(args.save_path, state, wait=True)
+    writer.close()
     print(f"\nsaved prior to {path}")
 
 

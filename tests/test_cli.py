@@ -119,6 +119,51 @@ def test_time_shards_cli(corpus):
     assert (save / "weights-3").is_dir()
 
 
+def test_prior_cli_checkpoint_resume(corpus):
+    """Prior trainer failure recovery: periodic/final checkpoints carry the
+    full train state (params, EMA shadows, opt state, step); killing a run
+    and restarting with -prior_restore resumes from the saved step instead
+    of losing everything (round-2 weakness: the prior had one save at the
+    end and no restore path)."""
+    import train as train_cli
+    import prior as prior_cli
+
+    save = corpus / "prior_vqvae"
+    train_cli.main([
+        "-dataset", "VCTK", "-length", "1024", "-batch", "2", "-step", "2",
+        "-interval", "5", "-save", str(save / "weights"),
+        "-params", str(corpus / "tiny_model.json"),
+        "-data", str(corpus / "data") + "/", "-ckpt_interval", "100"])
+
+    prior_save = corpus / "prior_model"
+    common = ["-restore", str(save / "weights-2"),
+              "-params", str(corpus / "tiny_model.json"),
+              "-data", str(corpus / "data") + "/",
+              "-dataset", "VCTK", "-length", "1024", "-batch", "2",
+              "-save", str(prior_save), "-interval", "1",
+              "-ckpt_interval", "2"]
+    # "die" after 3 steps: the periodic checkpoint at step 2 + final at 3
+    prior_cli.main(common + ["-step", "3"])
+    assert (prior_save / "weights-2").is_dir()
+    assert (prior_save / "weights-3").is_dir()
+
+    # resume from the step-2 checkpoint explicitly; 2 more steps -> 4
+    prior_cli.main(common + ["-step", "2",
+                             "-prior_restore", str(prior_save / "weights-2")])
+    assert (prior_save / "weights-4").is_dir()
+
+    # sampling restores the NEW full-state format (prefers the EMA shadow)
+    prior_cli.main([
+        "-restore", str(save / "weights-2"),
+        "-params", str(corpus / "tiny_model.json"),
+        "-data", str(corpus / "data") + "/",
+        "-prior", str(prior_save / "weights-4"),
+        "-sample", "2", "-seconds", "0.064", "-speakers", "p225", "p226"])
+    for name in ("prior_p225.wav", "prior_p226.wav"):
+        sr, out = wavfile.read(str(prior_save / name))
+        assert sr == 16000 and np.all(np.abs(out) <= 1.0)
+
+
 def test_magenta_family_cli(corpus, monkeypatch):
     """model_family='magenta' routes train.py through magenta_forward /
     make_magenta_optimizer and generate.py through magenta_generate
