@@ -119,7 +119,11 @@ def test_pallas_streamed_fallback_greedy(key, interpret_pallas, monkeypatch):
     """Force the 4-slot DMA weight-streaming path (used for models larger
     than VMEM and for int8) and check greedy parity — resident mode would
     otherwise always win on test-sized configs."""
+    # the budget global is read at TRACE time: drop any cached trace so the
+    # patched value actually forces the streamed path (a cached entry for
+    # identical (cfg, shapes) would silently re-validate resident mode)
     monkeypatch.setattr(gen_pallas, "_RESIDENT_BUDGET_MB", 0.0)
+    gen_pallas._generate_pallas_jit.clear_cache()
     cfg = WavenetConfig(
         quantization_channels=256, num_cycles=2, num_cycle_layers=4,
         dilation_rates=[1, 2, 4, 8, 1, 2, 4, 8], kernel_size=2,

@@ -194,8 +194,9 @@ def _generate_jit(params, cfg: WavenetConfig, local_condition, key,
     return samples.T  # [B, length]
 
 
-def _pallas_eligible(params, cfg: WavenetConfig, local_condition) -> bool:
-    b, _, c = local_condition.shape
+def _pallas_eligible(params, cfg: WavenetConfig, local_condition,
+                     compute_dtype=jnp.bfloat16) -> bool:
+    b, t_cond, c = local_condition.shape
     # shape gates first: the layout helpers below assert 128-alignment
     if not (jax.devices()[0].platform in ("tpu", "axon")
             and "lc_kernel" in params["layers"]
@@ -218,7 +219,13 @@ def _pallas_eligible(params, cfg: WavenetConfig, local_condition) -> bool:
     a_mb = cfg.num_layers * a_rows * a_cols * 2 / 2 ** 20
     sr_mb = (cfg.num_layers * (cfg.dilation_filters + 16)
              * (cfg.skip_filters + cfg.residual_filters) * 2 / 2 ** 20)
-    if ring_mb + a_mb + sr_mb <= _RESIDENT_BUDGET_MB:
+    lc_mb = b * t_cond * c * 2 / 2 ** 20   # lc is resident in VMEM too
+    # int8 never runs resident (the kernel always streams it), so only the
+    # bf16 path may qualify via the resident branch; the estimate must
+    # match the kernel's resident_bytes (incl. lc) or the kernel silently
+    # falls back to streamed mode whose slot budget was never checked here
+    if (compute_dtype != jnp.int8
+            and ring_mb + a_mb + sr_mb + lc_mb <= _RESIDENT_BUDGET_MB):
         return True                                  # resident mode fits
     g = _layers_per_dma(cfg, c, 2)
     slots_mb = 4 * g * a_rows * a_cols * 2 / 2 ** 20
@@ -266,7 +273,7 @@ def generate(params, cfg: WavenetConfig, local_condition, *, length: int,
         engine = "xla"
     use_pallas = engine == "pallas" or (
         engine == "auto" and compute_dtype in (jnp.bfloat16, jnp.int8)
-        and _pallas_eligible(params, cfg, local_condition))
+        and _pallas_eligible(params, cfg, local_condition, compute_dtype))
     if verbose:
         print(f"[generate] engine={'pallas' if use_pallas else 'xla'} "
               f"dtype={jnp.dtype(compute_dtype).name} length={length} "
