@@ -139,6 +139,131 @@ def test_sp_gradients_match_single_device(key):
             err_msg=str(path))
 
 
+def test_sp_multihop_halo_matches_single(key):
+    """Halo > shard length: the receptive-field context spans MULTIPLE left
+    neighbors (round-3: the halo <= T/n cap is lifted).  RF=32, shards of
+    16 samples -> 2-hop halo."""
+    cfg = tiny_cfg()
+    B, T, C = 1, 128, 5
+    ratio = 8
+    params = bump_biases(init_wavenet_params(key, cfg, lc_channels=C))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    lc = jax.random.normal(jax.random.PRNGKey(2), (B, T // ratio, C))
+
+    ref = np.asarray(wavenet_logits(params, cfg, x, lc))
+    mesh = make_mesh(num_data=8, num_model=1, devices=jax.devices()[:8])
+    assert halo_sizes(cfg, ratio)[0] > T // 8  # actually multi-hop
+    got = np.asarray(time_sharded_logits(params, cfg, x, lc, mesh))
+    np.testing.assert_allclose(ref, got, rtol=1e-4, atol=1e-4)
+
+
+def test_sp_composed_with_dp_matches_single(key):
+    """2(data) x 4(time) mesh: batch AND time sharded in one program must
+    equal the single-device loss/metrics (round-3: SP x DP composition)."""
+    from jax.sharding import Mesh
+    from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
+    from vqvae_wavenet_tpu.parallel.timeshard import time_sharded_loss
+
+    cfg = sp_model_cfg()
+    params, state = init_vqvae(key, cfg, num_speakers=4)
+    params = bump_biases(params)
+    B, T = 2, 512
+    # PRNGKey(13), not (1): with this fixture's weights, seed 1 leaves one
+    # encoder relu pre-activation 1.9e-7 from the kink, and the sharded
+    # forward's different reduction order flips that gate — an O(1)
+    # gradient delta in a measure-zero event, not an SP bug.  Seed 13's
+    # smallest kink margin is 5e-6, ~30x the reduction noise.
+    x = jax.random.uniform(jax.random.PRNGKey(13), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    y = jax.nn.one_hot(jnp.arange(B) % 4, 4)[:, None, :]
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "time"))
+
+    ref_loss, ref_aux = vqvae_forward(params, state, cfg, x, y, train=True)
+    sp_loss, sp_aux = time_sharded_loss(params, state, cfg, x, y, mesh,
+                                        batch_axis="data")
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=2e-5)
+    np.testing.assert_allclose(float(sp_aux["reconstruction_loss"]),
+                               float(ref_aux["reconstruction_loss"]),
+                               rtol=2e-5)
+    # sync-BN stats must span the full (B, T) across both mesh axes
+    ref_bn = ref_aux["state"]["encoder"]["bn"][0]["mean"]
+    sp_bn = sp_aux["state"]["encoder"]["bn"][0]["mean"]
+    np.testing.assert_allclose(np.asarray(sp_bn), np.asarray(ref_bn),
+                               rtol=1e-5, atol=1e-7)
+
+    # and gradients through the composed mesh (halo ppermutes + DP psum)
+    g_ref = jax.grad(
+        lambda p: vqvae_forward(p, state, cfg, x, y, train=True)[0])(params)
+    g_sp = jax.grad(
+        lambda p: time_sharded_loss(p, state, cfg, x, y, mesh,
+                                    batch_axis="data")[0])(params)
+    flat_sp = dict(jax.tree_util.tree_leaves_with_path(g_sp))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g_ref):
+        np.testing.assert_allclose(
+            np.asarray(flat_sp[path]), np.asarray(leaf), rtol=5e-4,
+            atol=5e-6, err_msg=str(path))
+
+
+def test_sp_magenta_encoder_matches_single(key):
+    """encoder='Magenta' under SP (round-3 scope widening): the causal
+    encoder's left-halo exchanges must reproduce the single-device z_e and
+    loss exactly."""
+    from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
+    from vqvae_wavenet_tpu.parallel.timeshard import time_sharded_loss
+
+    cfg = sp_model_cfg(encoder="Magenta")
+    params, state = init_vqvae(key, cfg, num_speakers=4)
+    params = bump_biases(params)
+    B, T = 2, 512
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    y = jax.nn.one_hot(jnp.arange(B) % 4, 4)[:, None, :]
+
+    ref_loss, ref_aux = vqvae_forward(params, state, cfg, x, y, train=True)
+    sp_loss, sp_aux = time_sharded_loss(params, state, cfg, x, y,
+                                        time_mesh(2))
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=2e-5)
+    np.testing.assert_allclose(float(sp_aux["vq_loss"]),
+                               float(ref_aux["vq_loss"]), rtol=2e-4)
+
+
+def test_sp_ema_vq_matches_single(key):
+    """vq_mode='ema' under SP (round-3): psum'd cluster stats + the
+    post-step codebook apply must equal the single-device EMA update."""
+    from vqvae_wavenet_tpu.models import vq as vq_mod
+    from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
+    from vqvae_wavenet_tpu.parallel.timeshard import time_sharded_loss
+
+    cfg = sp_model_cfg(vq_mode="ema")
+    params, state = init_vqvae(key, cfg, num_speakers=4)
+    B, T = 2, 512
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    y = jax.nn.one_hot(jnp.arange(B) % 4, 4)[:, None, :]
+
+    ref_loss, ref_aux = vqvae_forward(params, state, cfg, x, y, train=True)
+    sp_loss, sp_aux = time_sharded_loss(params, state, cfg, x, y,
+                                        time_mesh(4))
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=2e-5)
+
+    # the codebook update from SP stats == the single-device update
+    ref_vq, ref_state = vq_mod.ema_codebook_update(
+        {"embedding": params["vq"]["embedding"]}, state["vq"],
+        ref_aux["z_e"], ref_aux["q_z_x"], decay=cfg.ema_decay)
+    cs, dw = sp_aux["vq_stats"]
+    sp_vq, sp_state = vq_mod.ema_codebook_apply(
+        {"embedding": params["vq"]["embedding"]}, state["vq"],
+        cs, dw, decay=cfg.ema_decay)
+    np.testing.assert_allclose(np.asarray(sp_vq["embedding"]),
+                               np.asarray(ref_vq["embedding"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sp_state["ema_cluster_size"]),
+                               np.asarray(ref_state["ema_cluster_size"]),
+                               rtol=1e-6)
+
+
 def test_sp_train_step_runs_and_learns(key):
     """make_sp_train_step: 5 full steps on a 4-way time mesh; loss drops."""
     from vqvae_wavenet_tpu.training.train_loop import init_train_state

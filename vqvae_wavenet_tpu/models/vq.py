@@ -108,16 +108,12 @@ def vq_losses(z_e, e_k, beta: float, *, mode: str = "st"):
     return vq_loss, commitment
 
 
-def ema_codebook_update(params, state, z_e, q_z_x, *, decay: float = 0.99,
-                        epsilon: float = 1e-5,
-                        axis_name: Optional[str] = None):
-    """VectorQuantizerEMA codebook update (Magenta/sonnet.py:224-241).
-
-    Returns (new_params, new_state).  Statistics are psum-synced over the
-    data mesh axis when ``axis_name`` is given.
-    """
-    embedding = params["embedding"]
-    k, d = embedding.shape
+def ema_codebook_stats(z_e, q_z_x, k: int, axis_name=None):
+    """Per-batch cluster statistics for the EMA codebook update: counts
+    [k] and code-wise sums dw [k, d].  ``axis_name`` (a mesh axis name or
+    tuple of names) psums them — under SP/DP the z_e shards each
+    contribute partial sums (parallel/timeshard.py)."""
+    d = z_e.shape[-1]
     flat = jax.lax.stop_gradient(z_e).reshape(-1, d)
     onehot = jax.nn.one_hot(q_z_x.reshape(-1), k, dtype=jnp.float32)
     cluster_size = jnp.sum(onehot, axis=0)
@@ -126,8 +122,16 @@ def ema_codebook_update(params, state, z_e, q_z_x, *, decay: float = 0.99,
     if axis_name is not None:
         cluster_size = jax.lax.psum(cluster_size, axis_name)
         dw = jax.lax.psum(dw, axis_name)
+    return cluster_size, dw
 
-    new_cluster_size = decay * state["ema_cluster_size"] + (1 - decay) * cluster_size
+
+def ema_codebook_apply(params, state, cluster_size, dw, *,
+                       decay: float = 0.99, epsilon: float = 1e-5):
+    """Fold (already globally-reduced) cluster stats into the EMA codebook
+    (Magenta/sonnet.py:224-241: Laplace-smoothed cluster sizes)."""
+    k = params["embedding"].shape[0]
+    new_cluster_size = (decay * state["ema_cluster_size"]
+                        + (1 - decay) * cluster_size)
     new_means = decay * state["ema_means"] + (1 - decay) * dw
 
     n = jnp.sum(new_cluster_size)
@@ -136,3 +140,17 @@ def ema_codebook_update(params, state, z_e, q_z_x, *, decay: float = 0.99,
 
     return ({"embedding": new_embedding},
             {"ema_cluster_size": new_cluster_size, "ema_means": new_means})
+
+
+def ema_codebook_update(params, state, z_e, q_z_x, *, decay: float = 0.99,
+                        epsilon: float = 1e-5,
+                        axis_name: Optional[str] = None):
+    """VectorQuantizerEMA codebook update (Magenta/sonnet.py:224-241).
+
+    Returns (new_params, new_state).  Statistics are psum-synced over the
+    data mesh axis when ``axis_name`` is given.
+    """
+    cluster_size, dw = ema_codebook_stats(
+        z_e, q_z_x, params["embedding"].shape[0], axis_name=axis_name)
+    return ema_codebook_apply(params, state, cluster_size, dw,
+                              decay=decay, epsilon=epsilon)

@@ -34,14 +34,39 @@ def halo_sizes(cfg: WavenetConfig, ratio: int):
     return halo_frames * ratio, halo_frames
 
 
-def _first_shard_pad_mask(halo: int, local_len: int, axis_name: str):
-    """[1, halo+local, 1] residual-stream multiplier: zero over the halo on
-    shard 0 (reproducing the single-device per-layer zero padding at
-    sequence start — biased layers would otherwise compute nonzero halo
-    activations from the zero-filled ppermute input), one everywhere else."""
-    is_first = (lax.axis_index(axis_name) == 0).astype(jnp.float32)
-    halo_part = jnp.full((1, halo, 1), 1.0) - is_first
-    return jnp.concatenate([halo_part, jnp.ones((1, local_len, 1))], axis=1)
+def _left_halo(x_l, halo: int, axis_name: str):
+    """The ``halo`` columns of left context for each shard ([B, halo, C]);
+    positions before the global sequence start arrive as zeros.
+
+    When halo exceeds one shard's length the context spans several left
+    neighbors: hop h ships shard i's full block to shard i+h, and the tail
+    of the concatenation is kept.  (Round-2 limitation lifted: SP no
+    longer requires halo <= T/n, so short clips can still use many
+    shards.)"""
+    if halo == 0:
+        return x_l[:, :0, :]
+    n = lax.axis_size(axis_name)
+    L = x_l.shape[1]
+    if halo <= L:   # common case: one tail transfer of exactly halo cols
+        return lax.ppermute(x_l[:, -halo:, :], axis_name,
+                            [(i, i + 1) for i in range(n - 1)])
+    hops = -(-halo // L)
+    parts = [lax.ppermute(x_l, axis_name,
+                          [(i, i + h) for i in range(max(n - h, 0))])
+             for h in range(hops, 0, -1)]
+    return jnp.concatenate(parts, axis=1)[:, hops * L - halo:, :]
+
+
+def _halo_pad_mask(halo: int, local_len: int, axis_name: str):
+    """[1, halo+local, 1] residual-stream multiplier over the halo-extended
+    window: zero where the halo reaches past the global sequence start
+    (reproducing the single-device per-layer zero padding — biased layers
+    would otherwise compute nonzero activations from the zero-filled
+    ppermute input), one everywhere else."""
+    s = lax.axis_index(axis_name)
+    valid = (jnp.arange(halo) + s * local_len - halo >= 0)
+    return jnp.concatenate([valid.astype(jnp.float32)[None, :, None],
+                            jnp.ones((1, local_len, 1))], axis=1)
 
 
 def time_sharded_logits(params, cfg: WavenetConfig, x, local_condition,
@@ -60,19 +85,16 @@ def time_sharded_logits(params, cfg: WavenetConfig, x, local_condition,
     assert (T // n) % ratio == 0, (
         f"per-shard length {T // n} must be a multiple of ratio {ratio}")
     halo, halo_frames = halo_sizes(cfg, ratio)
-    perm = [(i, i + 1) for i in range(n - 1)]  # send my tail to the right
 
     def local_fn(params, x_l, lc_l):
         # x_l: [B, T/n, 1], lc_l: [B, T_cond/n, C]
-        x_tail = x_l[:, -halo:, :]
-        lc_tail = lc_l[:, -halo_frames:, :]
-        x_halo = lax.ppermute(x_tail, axis_name, perm)   # shard 0 gets zeros
-        lc_halo = lax.ppermute(lc_tail, axis_name, perm)
+        x_halo = _left_halo(x_l, halo, axis_name)
+        lc_halo = _left_halo(lc_l, halo_frames, axis_name)
         x_ext = jnp.concatenate([x_halo, x_l], axis=1)
         lc_ext = jnp.concatenate([lc_halo, lc_l], axis=1)
         logits_ext = wavenet_logits(params, cfg, x_ext, lc_ext,
                                     gate_order=gate_order,
-                                    pad_mask=_first_shard_pad_mask(
+                                    pad_mask=_halo_pad_mask(
                                         halo, x_l.shape[1], axis_name))
         return logits_ext[:, halo:, :]
 
@@ -107,10 +129,12 @@ def _exchange_both(x_l, left: int, right: int, axis_name: str):
     return jnp.concatenate(parts, axis=1)
 
 
-def _sync_batch_norm(params, state, x_l, *, train: bool, axis_name: str,
+def _sync_batch_norm(params, state, x_l, *, train: bool, axis_name,
                      momentum: float = 0.99, eps: float = 1e-3):
-    """BatchNorm with (B, T) statistics pmean-synced over the time axis —
-    bit-equal to single-device stats for equal shard sizes."""
+    """BatchNorm with (B, T) statistics pmean-synced over ``axis_name`` (a
+    mesh axis name or tuple — the time axis, plus the data axis when the
+    batch is sharded too) — bit-equal to single-device stats for equal
+    shard sizes."""
     if train:
         mean = lax.pmean(jnp.mean(x_l, axis=(0, 1)), axis_name)
         mean_sq = lax.pmean(jnp.mean(jnp.square(x_l), axis=(0, 1)),
@@ -140,7 +164,7 @@ def _sync_group_norm(params, x_l, *, axis_name: str, num_groups: int = 8,
 
 
 def time_sharded_encoder_64(params, state, x_l, *, train: bool,
-                            norm: str, axis_name: str):
+                            norm: str, axis_name: str, norm_axes=None):
     """Encoder_64 on a time shard: per-layer halo exchange makes each
     stride-2 'SAME' conv (k=5) exact at shard boundaries; norms are
     psum-synced so statistics span the whole sequence.
@@ -149,10 +173,14 @@ def time_sharded_encoder_64(params, state, x_l, *, train: bool,
     in[2o-1 .. 2o+3] — so the halo is 1 column from the left neighbor and
     3 from the right; edge shards get zeros, exactly the SAME zero pad.
 
-    x_l: [B, T/n, 1] -> z_e_l [B, T/(64 n), latent_dim], exactly the
+    norm_axes: mesh axes for the BatchNorm statistic pmean — (time,) plus
+    the data axis when the batch is sharded too (defaults to axis_name).
+
+    x_l: [B/bn, T/n, 1] -> z_e_l [B/bn, T/(64 n), latent_dim], exactly the
     single-device encoder_64_forward output for this shard's frames.
     """
     from vqvae_wavenet_tpu.ops.conv import conv1d
+    norm_axes = norm_axes if norm_axes is not None else axis_name
     net = x_l
     new_bn = []
     for i, conv in enumerate(params["convs"]):
@@ -162,7 +190,7 @@ def time_sharded_encoder_64(params, state, x_l, *, train: bool,
         net = jax.nn.relu(net)
         if norm == "batch":
             net, s = _sync_batch_norm(params["bn"][i], state["bn"][i], net,
-                                      train=train, axis_name=axis_name)
+                                      train=train, axis_name=norm_axes)
         else:
             net, s = _sync_group_norm(params["bn"][i], net,
                                       axis_name=axis_name), state["bn"][i]
@@ -172,7 +200,7 @@ def time_sharded_encoder_64(params, state, x_l, *, train: bool,
     i = len(params["convs"])
     if norm == "batch":
         net, s = _sync_batch_norm(params["bn"][i], state["bn"][i], net,
-                                  train=train, axis_name=axis_name)
+                                  train=train, axis_name=norm_axes)
     else:
         net, s = _sync_group_norm(params["bn"][i], net,
                                   axis_name=axis_name), state["bn"][i]
@@ -180,41 +208,109 @@ def time_sharded_encoder_64(params, state, x_l, *, train: bool,
     return net, {"bn": new_bn}
 
 
+def _sharded_shift_right(x_l, axis_name: str):
+    """shift_right with the time axis sharded: column 0 of each shard comes
+    from the left neighbor's last column (zeros on shard 0 = the global
+    zero at sequence start, wavenet_ops.py:9-14)."""
+    left = _left_halo(x_l, 1, axis_name)
+    return jnp.concatenate([left, x_l], axis=1)[:, :-1, :]
+
+
+def _sharded_causal_conv(x_l, kernel, bias, dilation: int, axis_name: str):
+    """Causal dilated conv on a time shard: pull the (K-1)*d left-context
+    columns from the neighbor(s) and run a VALID conv — shard 0's zeros
+    ARE the causal left padding, so the result is exact."""
+    from vqvae_wavenet_tpu.ops.conv import conv1d
+    k = kernel.shape[0]
+    halo = (k - 1) * dilation
+    ext = jnp.concatenate([_left_halo(x_l, halo, axis_name), x_l], axis=1)
+    return conv1d(ext, kernel, bias, padding="VALID", dilation=dilation)
+
+
+def time_sharded_encoder_magenta(params, state, x_l, *, axis_name: str,
+                                 **_):
+    """Encoder_Magenta on a time shard (round-3 scope widening: SP was
+    encoder='64'-only).  Every op is causal (encoders.py:172-192 /
+    reference encoder.py:38-63), so only LEFT halos are exchanged; the 1x1
+    stride-2 downsamples are pointwise and respect shard boundaries
+    because per-shard lengths stay even (T/n divisible by 64).
+
+    Unlike the decoder path there is no halo recomputation — each conv
+    receives its neighbor's EXACT activations — so no pad mask is needed.
+    """
+    from vqvae_wavenet_tpu.ops.conv import conv1d
+    from vqvae_wavenet_tpu.models.encoders import MAGENTA_DILATIONS
+    from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
+
+    net = mu_law_encode(_sharded_shift_right(x_l, axis_name))
+    en = _sharded_causal_conv(net, params["preprocess"]["kernel"],
+                              params["preprocess"]["bias"], 1, axis_name)
+    for layer, dil in zip(params["layers"], MAGENTA_DILATIONS):
+        d = conv1d(en, layer["down"]["kernel"], layer["down"]["bias"],
+                   stride=2, padding="VALID")
+        g = _sharded_causal_conv(d, layer["gate"]["kernel"],
+                                 layer["gate"]["bias"], dil, axis_name)
+        f = _sharded_causal_conv(d, layer["filter"]["kernel"],
+                                 layer["filter"]["bias"], dil, axis_name)
+        gated = jnp.tanh(g) * jax.nn.sigmoid(f)
+        en = d + conv1d(gated, layer["residual"]["kernel"],
+                        layer["residual"]["bias"], padding="VALID")
+    z = conv1d(en, params["postprocess"]["kernel"],
+               params["postprocess"]["bias"], padding="VALID")
+    return z, state
+
+
 def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
-                      *, train: bool = True, axis_name: str = "time"):
-    """VQVAE loss with the TIME axis sharded over ``axis_name``.
+                      *, train: bool = True, axis_name: str = "time",
+                      batch_axis=None):
+    """VQVAE loss with the TIME axis sharded over ``axis_name`` and
+    (optionally) the batch sharded over ``batch_axis`` — SP composed with
+    DP on one 2-D mesh in a single program (round-3: SP and DP used to be
+    mutually exclusive).
 
     Exact (up to reduction order) vs vqvae_forward on one device: the
-    encoder exchanges +-2-column halos per layer, norms psum-sync their
-    statistics, VQ is pointwise with psum'd means, and the decoder pulls
-    its receptive-field left halo.  Scope: encoder='64', vq_mode st/joint
-    or use_vq=False, no time_jitter / condition_upsample (asserted).
+    encoder exchanges per-layer halos, norms psum-sync their statistics
+    over every sharded axis, VQ is pointwise with psum'd means, and the
+    decoder pulls its receptive-field left halo (spanning multiple
+    neighbors when RF exceeds a shard).  Scope: encoder '64' or 'Magenta',
+    vq_mode st/joint/ema or use_vq=False, no time_jitter /
+    condition_upsample (asserted).
 
     x: [B, T, 1] (T divisible by 64*n); y: [B, 1, S] one-hot or None.
-    Returns (loss, aux) like vqvae_forward (aux carries new model state).
+    Returns (loss, aux) like vqvae_forward; for vq_mode='ema' aux carries
+    globally-psum'd cluster stats under 'vq_stats' for
+    vq.ema_codebook_apply (the update itself runs in the train step,
+    mirroring train_loop.py:82-87).
     """
     from vqvae_wavenet_tpu.models import vq as vq_mod
     from vqvae_wavenet_tpu.models.vqvae import build_local_condition
     from vqvae_wavenet_tpu.models.wavenet import wavenet_loss
     from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
 
-    assert cfg.encoder == "64", "SP training supports the default encoder"
+    assert cfg.encoder in ("64", "Magenta"), (
+        "SP training supports the '64' and 'Magenta' encoders "
+        "(Encoder_2019's MFCC framing spans shard boundaries)")
     assert not cfg.time_jitter and not cfg.condition_upsample
-    assert not (cfg.use_vq and cfg.vq_mode == "ema"), (
-        "vq_mode='ema' not supported under SP yet")
     n = mesh.shape[axis_name]
     B, T, _ = x.shape
     ratio = 64
     assert (T // n) % ratio == 0
     halo, halo_frames = halo_sizes(cfg.wavenet, ratio)
-    assert halo <= T // n, (
-        f"decoder halo {halo} exceeds shard length {T // n}; use fewer "
-        "shards or longer audio")
+    # global reductions (losses, norm stats, VQ stats) span the time axis
+    # AND the data axis when the batch is sharded
+    red_axes = (axis_name,) if batch_axis is None else (batch_axis,
+                                                        axis_name)
 
-    def local_fn(params, state, x_l, y):
-        z_e, enc_state = time_sharded_encoder_64(
-            params["encoder"], state["encoder"], x_l, train=train,
-            norm=cfg.encoder_norm, axis_name=axis_name)
+    def local_fn(params, state, x_l, y_l):
+        if cfg.encoder == "Magenta":
+            z_e, enc_state = time_sharded_encoder_magenta(
+                params["encoder"], state["encoder"], x_l,
+                axis_name=axis_name)
+        else:
+            z_e, enc_state = time_sharded_encoder_64(
+                params["encoder"], state["encoder"], x_l, train=train,
+                norm=cfg.encoder_norm, axis_name=axis_name,
+                norm_axes=red_axes)
         aux = {"state": {"encoder": enc_state}}
         if cfg.use_vq:
             q = vq_mod.quantize(params["vq"], z_e, mode=cfg.vq_mode)
@@ -223,23 +319,24 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
             k = params["vq"]["embedding"].shape[0]
             avg = lax.pmean(jnp.mean(
                 jax.nn.one_hot(q["q_z_x"].reshape(-1), k), axis=0),
-                axis_name)
+                red_axes)
             aux["perplexity"] = jnp.exp(
                 -jnp.sum(avg * jnp.log(avg + 1e-10)))
+            if cfg.vq_mode == "ema":
+                aux["vq_stats"] = vq_mod.ema_codebook_stats(
+                    z_e, q["q_z_x"], k, axis_name=red_axes)
         else:
             z_q = e_k = z_e
-        lc_l = build_local_condition(params, cfg, z_q, y, train=False)
+        lc_l = build_local_condition(params, cfg, z_q, y_l, train=False)
 
-        # decoder: left halo of RF samples/frames from the left neighbor
-        perm = [(i, i + 1) for i in range(n - 1)]
+        # decoder: left halo of RF samples/frames from the neighbor(s)
         x_ext = jnp.concatenate(
-            [lax.ppermute(x_l[:, -halo:, :], axis_name, perm), x_l], axis=1)
+            [_left_halo(x_l, halo, axis_name), x_l], axis=1)
         lc_ext = jnp.concatenate(
-            [lax.ppermute(lc_l[:, -halo_frames:, :], axis_name, perm), lc_l],
-            axis=1)
+            [_left_halo(lc_l, halo_frames, axis_name), lc_l], axis=1)
         logits_ext = wavenet_logits(params["decoder"], cfg.wavenet,
                                     x_ext, lc_ext,
-                                    pad_mask=_first_shard_pad_mask(
+                                    pad_mask=_halo_pad_mask(
                                         halo, x_l.shape[1], axis_name))
         logits = logits_ext[:, halo:, :]
         labels = mu_law_encode(x_l[..., 0], cfg.wavenet.quantization_channels,
@@ -248,14 +345,14 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
             wavenet_loss(
                 logits.reshape(-1, cfg.wavenet.quantization_channels),
                 labels.reshape(-1)),
-            axis_name)
+            red_axes)
         loss = recon
         aux["reconstruction_loss"] = recon
         if cfg.use_vq:
             vq_loss, commit = vq_mod.vq_losses(z_e, e_k, cfg.beta,
                                                mode=cfg.vq_mode)
-            vq_loss = lax.pmean(vq_loss, axis_name)
-            commit = lax.pmean(commit, axis_name)
+            vq_loss = lax.pmean(vq_loss, red_axes)
+            commit = lax.pmean(commit, red_axes)
             loss = loss + vq_loss + commit
             aux["vq_loss"] = vq_loss
             aux["commitment_loss"] = commit
@@ -263,10 +360,10 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
         return loss, aux
 
     # out_specs P(): loss and every aux leaf are replicated across shards
-    # (each is either pmean'd or computed identically on all shards)
+    # (each is either pmean/psum'd or computed identically on all shards)
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(), P(None, axis_name, None), P()),
+        in_specs=(P(), P(), P(batch_axis, axis_name, None), P(batch_axis)),
         out_specs=P(),
         check_rep=False,
     )
@@ -274,13 +371,17 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
 
 
 def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
-                       ema_decay: float = 0.999):
-    """Jitted full train step (fwd+bwd+Adam+EMA) over a time-sharded mesh.
+                       ema_decay: float = 0.999, batch_axis=None):
+    """Jitted full train step (fwd+bwd+Adam+EMA) over a time-sharded mesh,
+    optionally composed with data parallelism on a 2-D (data x time) mesh.
 
-    The train-state pytree replicates; only the audio batch's time axis is
-    sharded.  Gradients of the ppermute halos flow back automatically
-    (collectives are differentiable)."""
+    The train-state pytree replicates; the audio batch shards its time
+    axis (and batch axis when ``batch_axis`` is given).  Gradients of the
+    ppermute halos flow back automatically (collectives are
+    differentiable); for a sharded batch the shard_map transpose psums the
+    parameter cotangents over the data axis — standard DP reduction."""
     import optax
+    from vqvae_wavenet_tpu.models import vq as vq_mod
     from vqvae_wavenet_tpu.training.optimizer import (
         piecewise_constant_schedule, ema_update)
     from vqvae_wavenet_tpu.training.train_loop import _family_optimizer
@@ -291,15 +392,27 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
         def loss_fn(params):
             return time_sharded_loss(params, ts["model_state"], cfg,
                                      batch["x"], batch.get("y"), mesh,
-                                     axis_name=axis_name)
+                                     axis_name=axis_name,
+                                     batch_axis=batch_axis)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             ts["params"])
         updates, opt_state = opt.update(grads, ts["opt_state"], ts["params"])
         params = optax.apply_updates(ts["params"], updates)
+        model_state = aux["state"]
+        if cfg.use_vq and cfg.vq_mode == "ema":
+            # same post-optimizer codebook EMA as train_loop.py:82-87; the
+            # cluster stats were psum'd across all shards inside shard_map
+            cluster_size, dw = aux["vq_stats"]
+            new_vq, new_vq_state = vq_mod.ema_codebook_apply(
+                {"embedding": params["vq"]["embedding"]},
+                ts["model_state"]["vq"], cluster_size, dw,
+                decay=cfg.ema_decay)
+            params = dict(params, vq=new_vq)
+            model_state = dict(model_state, vq=new_vq_state)
         new_ts = {
             "params": params,
             "ema_params": ema_update(ts["ema_params"], params, ema_decay),
-            "model_state": aux["state"],
+            "model_state": model_state,
             "opt_state": opt_state,
             "step": ts["step"] + 1,
         }
@@ -313,8 +426,9 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
         return new_ts, metrics
 
     from jax.sharding import NamedSharding
-    x_sharding = NamedSharding(mesh, P(None, axis_name, None))
+    x_sharding = NamedSharding(mesh, P(batch_axis, axis_name, None))
+    y_sharding = NamedSharding(mesh, P(batch_axis))
     repl = NamedSharding(mesh, P())
     return jax.jit(step,
-                   in_shardings=(repl, {"x": x_sharding, "y": repl}),
+                   in_shardings=(repl, {"x": x_sharding, "y": y_sharding}),
                    donate_argnums=(0,))
