@@ -71,3 +71,69 @@ def test_non_wav_returns_none(tmp_path):
     with open(p, "wb") as f:
         f.write(b"garbage data not riff")
     assert nl.read_wav_native(p) is None
+
+
+# ---- make_input_pipeline dispatch (train.py -loader {auto,python,native})
+
+
+def _vctk_layout(tmp_path, sample_rate):
+    from vqvae_wavenet_tpu.data.datasets import VCTK  # noqa: F401
+    rng = np.random.default_rng(0)
+    root = tmp_path / "data"
+    files = []
+    for spk in ("p225", "p226"):
+        d = root / "VCTK-Corpus" / "wav48" / spk
+        d.mkdir(parents=True)
+        wav = (rng.uniform(-0.5, 0.5, sample_rate) * 32767).astype(np.int16)
+        wavfile.write(str(d / f"{spk}_000.wav"), sample_rate, wav)
+        files.append(f"{spk}/{spk}_000.wav")
+    info = root / "vctk_info"
+    info.mkdir()
+    (info / "vctk_train.txt").write_text("\n".join(files) + "\n")
+    (info / "vctk_speakers.txt").write_text("p225, 0\np226, 1\n")
+    return str(root) + "/"
+
+
+def test_factory_auto_picks_native_on_16k(tmp_path):
+    from vqvae_wavenet_tpu.data.datasets import make_input_pipeline
+    root = _vctk_layout(tmp_path, 16000)
+    pipe = make_input_pipeline("VCTK", batch_size=2, max_len=1024,
+                               relative_path=root, loader="auto")
+    try:
+        assert isinstance(pipe, nl.NativeLoader)
+        b = pipe.next()
+        assert b["x"].shape == (2, 1024, 1)
+        assert b["y"].shape == (2, 1, 2)
+    finally:
+        pipe.stop()
+
+
+def test_factory_auto_falls_back_on_48k(tmp_path):
+    """48 kHz corpora (real VCTK) need python-side resampling: auto must
+    NOT route them through the native PCM16 reader (which would feed
+    48 kHz samples as if they were 16 kHz)."""
+    from vqvae_wavenet_tpu.data.datasets import (
+        Dataset, make_input_pipeline)
+    root = _vctk_layout(tmp_path, 48000)
+    pipe = make_input_pipeline("VCTK", batch_size=1, max_len=1024,
+                               relative_path=root, loader="auto")
+    try:
+        assert isinstance(pipe, Dataset)
+    finally:
+        pipe.stop()
+    with pytest.raises(RuntimeError, match="not 16 kHz PCM16"):
+        make_input_pipeline("VCTK", batch_size=1, max_len=1024,
+                            relative_path=root, loader="native")
+
+
+def test_factory_trim_silence_forces_python(tmp_path):
+    from vqvae_wavenet_tpu.data.datasets import (
+        Dataset, make_input_pipeline)
+    root = _vctk_layout(tmp_path, 16000)
+    pipe = make_input_pipeline("VCTK", batch_size=1, max_len=1024,
+                               relative_path=root, loader="auto",
+                               trim_silence=True)
+    try:
+        assert isinstance(pipe, Dataset) and pipe.trim
+    finally:
+        pipe.stop()

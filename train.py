@@ -58,6 +58,16 @@ def parse_args(argv=None):
                              "reference prints every step; over the "
                              "remote-TPU tunnel a per-step device fetch "
                              "costs more than the train step itself")
+    parser.add_argument("-loader", default="auto",
+                        choices=["auto", "python", "native"],
+                        help="input pipeline: the native C++ thread-pooled "
+                             "loader (16 kHz PCM16 corpora), the python "
+                             "prefetch pipeline (any corpus; resamples), "
+                             "or auto-dispatch")
+    parser.add_argument("-trim_silence", action="store_true",
+                        help="trim leading/trailing silence before the "
+                             "random crop (the reference's in-memory-path "
+                             "option, dataset.py:23-31; python loader only)")
     parser.add_argument("-time_shards", default=1, type=int, metavar="N",
                         help="shard the audio TIME axis over N chips "
                              "(sequence parallelism with receptive-field "
@@ -76,7 +86,7 @@ def main(argv=None):
             num_processes=args.num_processes,
             process_id=args.process_id)
     from vqvae_wavenet_tpu.config import ModelConfig
-    from vqvae_wavenet_tpu.data.datasets import DATASETS
+    from vqvae_wavenet_tpu.data.datasets import make_input_pipeline
     from vqvae_wavenet_tpu.parallel.mesh import make_mesh, batch_sharding
     from vqvae_wavenet_tpu.training.train_loop import (
         init_train_state, make_jit_train_step)
@@ -85,11 +95,10 @@ def main(argv=None):
     from vqvae_wavenet_tpu.training.metrics import (
         MetricWriter, display_time, summary_histograms)
 
-    if args.dataset not in DATASETS:
-        raise NotImplementedError(f"dataset {args.dataset} not implemented")
-    dataset = DATASETS[args.dataset](
-        batch_size=args.batch_size, max_len=args.max_len,
-        relative_path=args.data_path).start()
+    dataset = make_input_pipeline(
+        args.dataset, batch_size=args.batch_size, max_len=args.max_len,
+        relative_path=args.data_path, loader=args.loader,
+        trim_silence=args.trim_silence)
 
     cfg = ModelConfig.from_json(args.parameter_path)
     if cfg.verbose:
@@ -120,13 +129,21 @@ def main(argv=None):
 
     if args.time_shards > 1:
         # sequence parallelism: time axis sharded with halo exchange
-        # (parallel/timeshard.py); batch replicates across the time mesh
+        # (parallel/timeshard.py), COMPOSED with data parallelism when
+        # more devices remain — one 2-D (data x time) mesh in a single
+        # jit, e.g. 8 chips = 4-way batch x 2-way time
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         from vqvae_wavenet_tpu.parallel.timeshard import make_sp_train_step
-        mesh_t = Mesh(np.asarray(jax.devices()[:args.time_shards]),
-                      ("time",))
-        sp_step = make_sp_train_step(cfg, mesh_t)
-        x_sh = NamedSharding(mesh_t, P(None, "time", None))
+        n_time = args.time_shards
+        n_data = math.gcd(global_batch, n_dev // n_time) or 1
+        mesh_t = Mesh(np.asarray(
+            jax.devices()[:n_data * n_time]).reshape(n_data, n_time),
+            ("data", "time"))
+        if n_data > 1:
+            print(f"[mesh] data={n_data} x time={n_time}")
+        sp_step = make_sp_train_step(cfg, mesh_t, batch_axis="data")
+        x_sh = NamedSharding(mesh_t, P("data", "time", None))
+        y_sh = NamedSharding(mesh_t, P("data"))
         repl = NamedSharding(mesh_t, P())
         ts = jax.device_put(ts, repl)
 
@@ -136,7 +153,7 @@ def main(argv=None):
 
         def put_batch(b):
             return {"x": jax.device_put(b["x"], x_sh),
-                    "y": jax.device_put(b["y"], repl)}
+                    "y": jax.device_put(b["y"], y_sh)}
     else:
         # the mesh-aware jit path: batch sharded over 'data', params per
         # the TP rules in parallel/mesh.py (replicated at num_model=1)
@@ -164,6 +181,7 @@ def main(argv=None):
     log_every = args.log_every or (
         1 if jax.devices()[0].platform == "cpu" else 20)
     t_win = time.time()
+    last_print = 0
     for step in range(1, 1 + args.num_steps):
         if args.profile and step == 10:
             jax.profiler.start_trace(args.profile)
@@ -193,8 +211,10 @@ def main(argv=None):
             rl = float(np.asarray(metrics["reconstruction_loss"]))
             lr = float(np.asarray(metrics["lr"]))
             now = time.time()
-            t = (now - t_win) / log_every
-            t_win = now
+            # divide by the steps actually elapsed since the last print —
+            # the final window is shorter when num_steps % log_every != 0
+            t = (now - t_win) / (step - last_print)
+            t_win, last_print = now, step
             progress = "\r[step %d] %.2f" % (
                 gs + step, step / args.num_steps * 100) + "%"
             loss_str = " [recons %.5f] [lr %.5f]" % (rl, lr)

@@ -138,12 +138,17 @@ class Dataset:
 
     def __init__(self, batch_size: int = 1, max_len: int = 5120,
                  relative_path: str = "data/", seed: Optional[int] = None,
-                 prefetch: int = 4):
+                 prefetch: int = 4, trim_silence: bool = False):
         self.batch_size = batch_size
         self.max_len = max_len
         self.relative_path = relative_path
         self._rng = np.random.default_rng(seed)
         self._prefetch = prefetch
+        # opt-in leading/trailing silence removal before the crop — the
+        # reference applies this in its (deprecated) in-memory load path
+        # (dataset.py:23-31); surfaced here as a loader option so the
+        # behavior is reachable rather than dead code
+        self.trim = trim_silence
 
         manifest = self._find(self.filename)
         speaker_file = self._find(self.speaker_file)
@@ -176,6 +181,8 @@ class Dataset:
         filename = self.all_files[i]
         wav = read_wav_16k(os.path.join(self.relative_path, self.data_dir,
                                         filename))
+        if self.trim:
+            wav = trim_silence(wav)
         if len(wav) <= self.max_len:
             wav = np.pad(wav, (0, self.max_len + 1 - len(wav)))
         start = self._rng.integers(0, len(wav) - self.max_len)
@@ -259,6 +266,13 @@ class VCTK(Dataset):
 
 
 class Aishell(Dataset):
+    """Aishell corpus (reference dataset.py:136-144).
+
+    Note: ``aishell_train.txt`` is absent here AND in the reference — the
+    upstream copy is a missing git-LFS blob (see the reference's
+    data/aishell_info/.MISSING_LARGE_BLOBS), so constructing this class
+    raises FileNotFoundError on both repos until a manifest is supplied
+    (one wav path per line, ``.../train/<speaker>/<file>.wav``)."""
     filename = "aishell_train.txt"
     speaker_file = "aishell_speakers.txt"
     data_dir = ""
@@ -267,6 +281,91 @@ class Aishell(Dataset):
 
 
 DATASETS = {"VCTK": VCTK, "LibriSpeech": LibriSpeech, "Aishell": Aishell}
+
+
+def _wav_is_pcm16_16k(path: str) -> bool:
+    """Header-only probe: RIFF/WAVE, PCM (format 1), 16-bit, 16 kHz — the
+    native C++ loader handles exactly this (cpp/dataloader.cpp parses PCM16
+    and does NOT resample, so 48 kHz VCTK originals must stay on the
+    python path)."""
+    try:
+        with open(path, "rb") as f:
+            if f.read(4) != b"RIFF":
+                return False
+            f.read(4)
+            if f.read(4) != b"WAVE":
+                return False
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    return False
+                cid = hdr[:4]
+                size = int.from_bytes(hdr[4:8], "little")
+                if cid == b"fmt ":
+                    fmt = f.read(min(size, 16))
+                    if len(fmt) < 16:
+                        return False
+                    audio_format = int.from_bytes(fmt[0:2], "little")
+                    rate = int.from_bytes(fmt[4:8], "little")
+                    bits = int.from_bytes(fmt[14:16], "little")
+                    return (audio_format == 1 and bits == 16
+                            and rate == 16000)
+                f.seek((size + 1) & ~1, 1)
+    except OSError:
+        return False
+
+
+def make_input_pipeline(name: str, *, batch_size: int, max_len: int,
+                        relative_path: str = "data/", loader: str = "auto",
+                        seed: Optional[int] = None,
+                        trim_silence: bool = False):
+    """Construct the training input pipeline: the python prefetch Dataset
+    or the native C++ thread-pooled loader (cpp/dataloader.cpp).
+
+    loader:
+      'python' — the Dataset above (resampling, trim_silence support);
+      'native' — the C++ loader (16 kHz PCM16 corpora only; raises with
+                 the reason when ineligible);
+      'auto'   — native when the corpus qualifies, else python (e.g. the
+                 48 kHz VCTK originals need python-side resampling).
+
+    Returns an object exposing .next() -> {'x','y'}, .stop(), and
+    .num_speakers — both loaders share this contract."""
+    if name not in DATASETS:
+        raise NotImplementedError(f"dataset {name} not implemented")
+    if loader not in ("auto", "python", "native"):
+        raise ValueError(f"unknown loader '{loader}'")
+    ds = DATASETS[name](batch_size=batch_size, max_len=max_len,
+                        relative_path=relative_path, seed=seed,
+                        trim_silence=trim_silence)
+    if loader in ("auto", "native"):
+        from vqvae_wavenet_tpu.data import native_loader as nl
+        reason = None
+        if trim_silence:
+            reason = "trim_silence is python-only"
+        elif not nl.native_available():
+            reason = "native library failed to build"
+        else:
+            probe = os.path.join(relative_path, ds.data_dir,
+                                 ds.all_files[0])
+            if not _wav_is_pcm16_16k(probe):
+                reason = f"corpus is not 16 kHz PCM16 ({probe})"
+        if reason is None:
+            files = [os.path.join(relative_path, ds.data_dir, f)
+                     for f in ds.all_files]
+            ids = [ds.speaker_to_int[ds.split_func(f)]
+                   for f in ds.all_files]
+            pipe = nl.NativeLoader(files, ids, ds.num_speakers,
+                                   batch_size, max_len,
+                                   seed=seed if seed is not None else 0)
+            print(f"[data] native C++ loader: {len(files)} files, "
+                  f"4 worker threads")
+            return pipe
+        if loader == "native":
+            raise RuntimeError(f"-loader native unavailable: {reason}")
+        print(f"[data] native loader ineligible ({reason}); "
+              f"using the python pipeline")
+    return ds.start()
 
 
 if __name__ == "__main__":
