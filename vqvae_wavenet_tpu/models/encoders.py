@@ -59,10 +59,15 @@ def batch_norm(params, state, x, *, train: bool, momentum: float = 0.99,
                eps: float = 1e-3, axis_name: Optional[str] = None):
     """Keras-default BatchNorm over (B, T).  Under pjit with the batch sharded
     on ``axis_name``, batch statistics are psum-synced across shards so the
-    result is identical to the single-device computation."""
+    result is identical to the single-device computation.
+
+    Statistics always accumulate in f32 (a no-op for f32 inputs; under the
+    bf16 mixed-precision encoder, bf16 mean/variance accumulation would be
+    unusable); the normalized output returns in x's dtype."""
+    xf = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(x, axis=(0, 1))
-        mean_sq = jnp.mean(jnp.square(x), axis=(0, 1))
+        mean = jnp.mean(xf, axis=(0, 1))
+        mean_sq = jnp.mean(jnp.square(xf), axis=(0, 1))
         if axis_name is not None:
             mean = jax.lax.pmean(mean, axis_name)
             mean_sq = jax.lax.pmean(mean_sq, axis_name)
@@ -74,20 +79,24 @@ def batch_norm(params, state, x, *, train: bool, momentum: float = 0.99,
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    inv = jax.lax.rsqrt(var + eps) * params["scale"]
-    return (x - mean) * inv + params["bias"], new_state
+    inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
+    out = (xf - mean) * inv + params["bias"].astype(jnp.float32)
+    return out.astype(x.dtype), new_state
 
 
 def group_norm(params, x, *, num_groups: int = 8, eps: float = 1e-3):
     """Batch-independent alternative to BatchNorm (ModelConfig.encoder_norm
-    = 'group'); no cross-shard sync or running stats needed."""
+    = 'group'); no cross-shard sync or running stats needed.  Statistics
+    in f32 (see batch_norm)."""
     b, t, c = x.shape
     g = num_groups if c % num_groups == 0 else 1
-    xg = x.reshape(b, t, g, c // g)
+    xg = x.astype(jnp.float32).reshape(b, t, g, c // g)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.var(xg, axis=(1, 3), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    return xg.reshape(b, t, c) * params["scale"] + params["bias"]
+    out = (xg.reshape(b, t, c) * params["scale"].astype(jnp.float32)
+           + params["bias"].astype(jnp.float32))
+    return out.astype(x.dtype)
 
 
 # --------------------------------------------------------------- Encoder_64

@@ -129,9 +129,22 @@ def vqvae_forward(params, state, cfg: ModelConfig, x, y, *, train: bool,
       (loss, aux) where aux carries the individual losses, metrics, new
       model state, and the tensors the reference exposes (z_e, z_q, q_z_x).
     """
-    z_e, enc_state = enc.encoder_forward(
-        cfg.encoder, params["encoder"], state["encoder"], x,
-        train=train, norm=cfg.encoder_norm, axis_name=axis_name)
+    if cfg.train_dtype == "bf16" and cfg.encoder != "2019":
+        # mixed precision covers the encoder too (round 3): convs in bf16
+        # on the MXU, norm STATISTICS in f32 (encoders.py::batch_norm),
+        # z_e back to f32 so the VQ argmin keeps full precision.  The
+        # 2019 encoder stays f32 — its MFCC front end frames/FFTs the
+        # waveform, which bf16 would degrade.
+        enc16 = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16), params["encoder"])
+        z_e, enc_state = enc.encoder_forward(
+            cfg.encoder, enc16, state["encoder"], x.astype(jnp.bfloat16),
+            train=train, norm=cfg.encoder_norm, axis_name=axis_name)
+        z_e = z_e.astype(jnp.float32)
+    else:
+        z_e, enc_state = enc.encoder_forward(
+            cfg.encoder, params["encoder"], state["encoder"], x,
+            train=train, norm=cfg.encoder_norm, axis_name=axis_name)
 
     aux = {"z_e": z_e, "state": {"encoder": enc_state}}
     if cfg.use_vq:

@@ -27,9 +27,13 @@ from jax import lax
 from vqvae_wavenet_tpu.config import WavenetConfig
 from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
 from vqvae_wavenet_tpu.ops.conv import (
-    shift_right, causal_conv1d, dilated_conv_taps, add_condition,
+    shift_right, conv1d, causal_conv1d, dilated_conv_taps, add_condition,
     uniform_unit_scaling_init,
 )
+
+# perf-experiment knob: run the residual 1x1 as a conv op instead of an
+# einsum (layout consistency with the neighboring dilated convs)
+_RES_AS_CONV = False
 
 
 def init_wavenet_params(key, cfg: WavenetConfig, lc_channels: Optional[int],
@@ -153,6 +157,8 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
     lp = params["layers"]
     has_lc = "lc_kernel" in lp and local_condition is not None
     has_gc = "gc_kernel" in lp and global_condition is not None
+    t_cond = local_condition.shape[1] if has_lc else T
+    reps = T // t_cond
 
     # bf16 mode: (a) cast `pre` to bf16 after the f32-accumulated conv —
     # halves the widest activation stream ([B,T,2D]); (b) defer the skip
@@ -164,26 +170,45 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
     fused_skip = compute_dtype == jnp.bfloat16 and cfg.num_layers <= 64
 
     def apply_layer(net, skip, p, pre, gateds=None):
+        # The per-layer condition add + gate runs in the frame-blocked 4-D
+        # view [B, T_cond, T/T_cond, 2D]: the projected condition
+        # broadcast-adds over each frame's block (add_condition semantics,
+        # wavenet_ops.py:93-101) and the tanh*sigmoid gate consumes the
+        # sum in the SAME elementwise fusion — materializing the
+        # broadcast separately cost 8.4 ms/step over 30 layers (PERF #18).
+        pre4 = pre.reshape(B, t_cond, reps, 2 * D) + p["bias"]
         if has_lc:
-            pre = add_condition(pre, local_condition, p["lc_kernel"])
+            enc = jnp.einsum("bsc,cf->bsf", local_condition, p["lc_kernel"],
+                             preferred_element_type=jnp.float32)
+            pre4 = pre4 + enc[:, :, None, :]
         if has_gc:
-            pre = add_condition(pre, global_condition, p["gc_kernel"])
+            genc = jnp.einsum("bsc,cf->bsf", global_condition,
+                              p["gc_kernel"],
+                              preferred_element_type=jnp.float32)
+            # gc has T_gc == 1: broadcast over all frames and samples
+            pre4 = pre4 + genc[:, :, None, :]
             if "gc_bias" in p:  # Magenta add_gc has a bias (config.py:186-192)
-                pre = pre + p["gc_bias"]
+                pre4 = pre4 + p["gc_bias"]
         if fused_skip:
-            pre = pre.astype(compute_dtype)
+            pre4 = pre4.astype(compute_dtype)
         if gate_order == "tanh_first":
-            gated = jnp.tanh(pre[..., :D]) * jax.nn.sigmoid(pre[..., D:])
+            gated = jnp.tanh(pre4[..., :D]) * jax.nn.sigmoid(pre4[..., D:])
         else:
-            gated = jax.nn.sigmoid(pre[..., :D]) * jnp.tanh(pre[..., D:])
+            gated = jax.nn.sigmoid(pre4[..., :D]) * jnp.tanh(pre4[..., D:])
+        gated = gated.reshape(B, T, D)
         if fused_skip:
             gateds.append(gated.astype(compute_dtype))
         else:
             skip = skip + jnp.einsum("btc,cf->btf", gated, p["skip_kernel"],
                                      preferred_element_type=jnp.float32) + p["skip_bias"]
-        net = (net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
-                                preferred_element_type=jnp.float32)
-               + p["res_bias"]).astype(compute_dtype)
+        if _RES_AS_CONV:
+            net = (net + conv1d(gated, p["res_kernel"][None], None,
+                                padding="VALID")
+                   + p["res_bias"]).astype(compute_dtype)
+        else:
+            net = (net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
+                                    preferred_element_type=jnp.float32)
+                   + p["res_bias"]).astype(compute_dtype)
         if pad_mask is not None:
             net = net * pad_mask.astype(net.dtype)
         return net, skip
@@ -197,8 +222,9 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
         gateds = []
         for i, d in enumerate(cfg.dilation_rates):
             p = jax.tree_util.tree_map(lambda v: v[i], lp)
-            pre = causal_conv1d(net, p["kernel"], p["bias"],
-                                dilation=int(d))
+            # bias=None: the bias rides the condition-add + gate fusion in
+            # apply_layer instead of a separate [B,T,2D] pass (PERF #18)
+            pre = causal_conv1d(net, p["kernel"], None, dilation=int(d))
             net, skip = apply_layer(net, skip, p, pre, gateds)
         if fused_skip:
             gs = jnp.concatenate(gateds, axis=-1)       # [B, T, L*D]
@@ -218,7 +244,7 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
             net, skip = carry
             for j, dil in enumerate(pattern):
                 p = jax.tree_util.tree_map(lambda x: x[j], cycle_params)
-                pre = causal_conv1d(net, p["kernel"], p["bias"],
+                pre = causal_conv1d(net, p["kernel"], None,
                                     dilation=int(dil))
                 net, skip = apply_layer(net, skip, p, pre)
             return (net, skip), None
@@ -229,7 +255,7 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
             net, skip = carry
             p, d = xs
             x_padded = jnp.pad(net, ((0, 0), (max_pad, 0), (0, 0)))
-            pre = dilated_conv_taps(x_padded, p["kernel"], p["bias"], d,
+            pre = dilated_conv_taps(x_padded, p["kernel"], None, d,
                                     seq_len=T, max_pad=max_pad)
             net, skip = apply_layer(net, skip, p, pre)
             return (net, skip), None

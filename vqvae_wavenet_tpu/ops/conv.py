@@ -46,13 +46,14 @@ def shift_right(x):
     return jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
 
 
-def conv1d(x, kernel, bias=None, *, stride: int = 1, padding: str = "SAME",
+def conv1d(x, kernel, bias=None, *, stride: int = 1, padding="SAME",
            dilation: int = 1):
-    """Plain 1-D conv.  x: [B, T, C_in], kernel: [K, C_in, C_out]."""
+    """Plain 1-D conv.  x: [B, T, C_in], kernel: [K, C_in, C_out].
+    padding: 'SAME' | 'VALID' | [(low, high)] explicit pair."""
     out = lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride,),
-        padding=padding,
+        padding=padding if isinstance(padding, str) else list(padding),
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
@@ -62,15 +63,16 @@ def conv1d(x, kernel, bias=None, *, stride: int = 1, padding: str = "SAME",
 
 
 def causal_conv1d(x, kernel, bias=None, *, dilation: int = 1, stride: int = 1):
-    """Causal dilated conv = left-pad dilation*(K-1), then VALID conv.
+    """Causal dilated conv = left-pad dilation*(K-1) inside the conv op.
 
     Exactly conv1d_v2's 'CAUSAL' path (wavenet_ops.py:81-87): output[t]
-    depends only on input[<= t].
+    depends only on input[<= t].  The padding rides the convolution's own
+    padding config rather than an explicit jnp.pad — the materialized
+    pad copies cost 7.5 ms/step across the 30-layer stack (PERF.md #18).
     """
     k = kernel.shape[0]
-    x = jnp.pad(x, ((0, 0), (dilation * (k - 1), 0), (0, 0)))
-    return conv1d(x, kernel, bias, stride=stride, padding="VALID",
-                  dilation=dilation)
+    return conv1d(x, kernel, bias, stride=stride,
+                  padding=[(dilation * (k - 1), 0)], dilation=dilation)
 
 
 def dilated_conv_taps(x_padded, kernel, bias, dilation, *, seq_len: int,
