@@ -138,6 +138,46 @@ def test_pallas_streamed_fallback_greedy(key, interpret_pallas, monkeypatch):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_pallas_hybrid_ring_greedy(key, interpret_pallas):
+    """Hybrid mode (round 3): large-dilation rings live in HBM with
+    double-buffered tap prefetch; small rings stay in VMEM.  Greedy output
+    must match the XLA scan exactly.  The d=96 layer ((K-1)*d = 192 rows >
+    the 128-row VMEM cap) goes to HBM, and length 208 > 2*96 drives taps
+    through real (written) HBM rows, exercising the zero-init DMA, the
+    one-step-ahead read pipeline, and the write retirement."""
+    cfg = WavenetConfig(
+        quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 96], kernel_size=3, dilation_filters=64,
+        skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+        preprocess_filters=128)
+    B = 8   # hybrid requires B % 8 == 0
+    params = init_wavenet_params(key, cfg, lc_channels=128)
+    lc = jax.random.normal(jax.random.PRNGKey(7), (B, 4, 128)) * 0.3
+    # the big layer is actually split out
+    _, hoffs, _, bidx, _, _ = gen_pallas._hybrid_tables(cfg)
+    assert (np.asarray(bidx) >= 0).sum() == 1 and hoffs[3] == 0
+    ref = np.asarray(fast.generate(params, cfg, lc, length=208,
+                                   mode="greedy"))
+    got = np.asarray(gen_pallas.generate_pallas(
+        params, cfg, lc, length=208, mode="greedy", dtype=jnp.float32,
+        ring_mode="hybrid"))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_select_mode_shipped_config():
+    """Mode selection on the real 30-layer config: small batch is fully
+    resident; B=32 exceeds VMEM rings and picks hybrid; int8 streams."""
+    cfg = WavenetConfig()   # shipped 30-layer model
+    assert gen_pallas.select_mode(cfg, 128, 1, 64, jnp.bfloat16) \
+        == "resident"
+    assert gen_pallas.select_mode(cfg, 128, 8, 64, jnp.bfloat16) \
+        == "resident"
+    assert gen_pallas.select_mode(cfg, 128, 32, 64, jnp.bfloat16) \
+        == "hybrid"
+    assert gen_pallas.select_mode(cfg, 128, 1, 64, jnp.int8) == "streamed"
+
+
 def test_int8_pack_roundtrip(key):
     """Per-row int8 quantization reconstructs weights to ~1% relative."""
     cfg = tiny_cfg()

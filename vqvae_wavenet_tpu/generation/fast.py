@@ -206,28 +206,21 @@ def _pallas_eligible(params, cfg: WavenetConfig, local_condition,
             and cfg.skip_filters % 128 == 0
             and cfg.quantization_channels % 128 == 0):
         return False
-    # VMEM budget (bf16): the kernel runs fully-RESIDENT when weights +
-    # ring fit its budget, else falls back to the 4-slot DMA stream; this
-    # gate mirrors both (~128MB VMEM per v5e core, caps well below)
-    from vqvae_wavenet_tpu.ops.gen_pallas import (
-        _layers_per_dma, _RESIDENT_BUDGET_MB)
+    # kernel mode selection is shared with the launch path
+    # (ops/gen_pallas.py::select_mode) so the gate can never approve a
+    # config the kernel then handles differently
+    from vqvae_wavenet_tpu.ops import gen_pallas
+    mode = gen_pallas.select_mode(cfg, c, b, t_cond, compute_dtype)
+    if mode in ("resident", "hybrid"):
+        return True
+    # streamed fallback: its 4 weight slots + full ring + resident res
+    # blocks must fit their own budget
     ring_rows = (cfg.kernel_size - 1) * sum(cfg.dilation_rates)
     ring_mb = ring_rows * b * cfg.residual_filters * 2 / 2 ** 20
     a_cols = max(2 * cfg.dilation_filters, cfg.skip_filters)
     a_rows = (cfg.kernel_size * cfg.residual_filters + c
               + cfg.dilation_filters + 2)
-    a_mb = cfg.num_layers * a_rows * a_cols * 2 / 2 ** 20
-    sr_mb = (cfg.num_layers * (cfg.dilation_filters + 16)
-             * (cfg.skip_filters + cfg.residual_filters) * 2 / 2 ** 20)
-    lc_mb = b * t_cond * c * 2 / 2 ** 20   # lc is resident in VMEM too
-    # int8 never runs resident (the kernel always streams it), so only the
-    # bf16 path may qualify via the resident branch; the estimate must
-    # match the kernel's resident_bytes (incl. lc) or the kernel silently
-    # falls back to streamed mode whose slot budget was never checked here
-    if (compute_dtype != jnp.int8
-            and ring_mb + a_mb + sr_mb + lc_mb <= _RESIDENT_BUDGET_MB):
-        return True                                  # resident mode fits
-    g = _layers_per_dma(cfg, c, 2)
+    g = gen_pallas._layers_per_dma(cfg, c, 2)
     slots_mb = 4 * g * a_rows * a_cols * 2 / 2 ** 20
     res_mb = (cfg.num_layers * (cfg.dilation_filters + 16)
               * cfg.residual_filters * 2 / 2 ** 20)

@@ -169,6 +169,80 @@ def _ring_tables(cfg: WavenetConfig):
             _round_up(max(total, 8), 8))
 
 
+# layers whose ring exceeds this many rows move to the HBM ring in hybrid
+# mode (the large-dilation rings dominate VMEM at big batch: d=512 K=3 is
+# 1024 rows/layer while d<=64 layers sum to 762 for the whole shipped stack)
+_HYBRID_VMEM_MAX_ROWS = 128
+
+
+def _hybrid_tables(cfg: WavenetConfig):
+    """Split the per-layer rings between VMEM and HBM.
+
+    Returns (vmem_offs, hbm_offs, sizes, big_index, vmem_rows, hbm_rows):
+    per layer, exactly one of vmem_offs/hbm_offs is >= 0; big_index maps a
+    big layer to its slot in the prefetch buffers."""
+    sizes = [(cfg.kernel_size - 1) * d for d in cfg.dilation_rates]
+    vmem_offs, hbm_offs, big_index = [], [], []
+    v = h = nbig = 0
+    for s in sizes:
+        if s > _HYBRID_VMEM_MAX_ROWS:
+            vmem_offs.append(-1)
+            hbm_offs.append(h)
+            big_index.append(nbig)
+            h += s
+            nbig += 1
+        else:
+            vmem_offs.append(v)
+            hbm_offs.append(-1)
+            big_index.append(-1)
+            v += s
+    return (np.asarray(vmem_offs, np.int32), np.asarray(hbm_offs, np.int32),
+            np.asarray(sizes, np.int32), np.asarray(big_index, np.int32),
+            _round_up(max(v, 8), 8), _round_up(max(h, 256), 256))
+
+
+def select_mode(cfg: WavenetConfig, lc_channels: int, batch: int,
+                t_cond: int, dtype) -> str:
+    """Pick the kernel mode from static shapes — the single source of
+    truth for both the launch path and generation/fast.py's eligibility
+    gate.
+
+      'resident' — weights AND all rings in VMEM (fastest; small batch);
+      'hybrid'   — weights resident, large-dilation rings in HBM with
+                   double-buffered tap prefetch (large batch: the ring is
+                   B-proportional, ~3.1 MB/stream for the shipped config);
+      'streamed' — 4-slot weight-streaming DMA pipeline (huge models,
+                   int8; its own slot budget is checked by the caller).
+    """
+    import jax.numpy as jnp
+    lay = _layout(cfg, lc_channels)
+    K, R, S = cfg.kernel_size, cfg.residual_filters, cfg.skip_filters
+    D = cfg.dilation_filters
+    itemsize = 1 if dtype == jnp.int8 else jnp.dtype(dtype).itemsize
+    act = 4 if dtype == jnp.float32 else 2
+    budget = _RESIDENT_BUDGET_MB * 2 ** 20
+    a_bytes = cfg.num_layers * lay["a_rows"] * lay["a_cols"] * itemsize
+    sr_bytes = cfg.num_layers * lay["res_rows"] * (S + R) * \
+        (2 if dtype == jnp.int8 else act)
+    lc_bytes = t_cond * batch * lc_channels * act
+    gcon_bytes = cfg.num_layers * batch * 2 * D * act
+    ring_bytes = _ring_tables(cfg)[3] * batch * R * act
+    if (dtype != jnp.int8
+            and a_bytes + sr_bytes + ring_bytes + lc_bytes <= budget):
+        return "resident"
+    _, _, _, bidx, vmem_rows, hbm_rows = _hybrid_tables(cfg)
+    nbig = int((bidx >= 0).sum())
+    if dtype != jnp.int8 and nbig and batch % 8 == 0:
+        hybrid_bytes = (a_bytes + sr_bytes + vmem_rows * batch * R * act
+                        + 2 * nbig * (K - 1) * batch * R * act  # taps_buf
+                        + 2 * nbig * batch * R * act            # wcur
+                        + 128 * batch * R * act                 # zbuf
+                        + lc_bytes + gcon_bytes)
+        if hybrid_bytes <= budget:
+            return "hybrid"
+    return "streamed"
+
+
 def _mu_law_encode_f32(x, q):
     mu = float(q - 1)
     x = jnp.clip(x, -1.0, 1.0)
@@ -185,7 +259,7 @@ def _mu_law_decode_f32(bins, q):
 def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                  length: int, t_cond: int, mode: str, dtype,
                  gate_order: str = "tanh_first", G: int = 1,
-                 resident: bool = False):
+                 resident: bool = False, hybrid: bool = False):
     L = cfg.num_layers
     K = cfg.kernel_size
     D = cfg.dilation_filters
@@ -211,14 +285,82 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
     P = next(p for p in (4, 2, 1) if block_rows % (8 * p) == 0)
     sub_rows = block_rows // P
     _offs_np, _dils_np, _sizes_np, _ = _ring_tables(cfg)
+    if hybrid:
+        # hybrid ring split: large-dilation rings live in HBM with
+        # double-buffered tap prefetch one step ahead — reads at step i
+        # were written >= d (>=128) steps earlier, so prefetching during
+        # step i-1's compute is hazard-free (tap rows i-j*d never collide
+        # with writes at i-1 or i: j*d mod (K-1)d is never 1 or 2 for
+        # d > 2).  VMEM keeps only the small-d rings.
+        (_voffs_np, _hoffs_np, _sizes_np2, _bidx_np,
+         _, _hbm_rows) = _hybrid_tables(cfg)
+        _big_layers = [l for l in range(L) if _hoffs_np[l] >= 0]
+        NBIG = len(_big_layers)
+        _Z_CHUNK = 128
 
     def kernel(off_ref, dil_ref, size_ref, seed_ref,          # scalar prefetch
                a_hbm, res_ref, scale_ref, lc_ref, w_pre, b_pre, w_ss, b_ss,
                w_pp1, b_pp1, w_pp1_lc, w_pp2, b_pp2,
                gcon_ref, g_pp1_ref,                           # inputs
-               out_ref,                                       # output
-               w512, deq, ring, win, prev, stage, sems):      # scratch
+               out_ref,                                       # output(s)
+               *rest):                                        # [ring] + scratch
+        if hybrid:
+            (hbm_ring, w512, deq, ring, win, prev, stage, sems,
+             taps_buf, wcur, zbuf, rsem, wsem) = rest
+        else:
+            (w512, deq, ring, win, prev, stage, sems) = rest
         i = pl.program_id(0)
+
+        if hybrid:
+            def read_dma(step, l, j):
+                bi = int(_bidx_np[l])
+                d_ = int(_dils_np[l])
+                size_ = int(_sizes_np[l])
+                hoff = int(_hoffs_np[l])
+                row = hoff + jax.lax.rem(step - j * d_ + j * size_, size_)
+                slot = jax.lax.rem(step, 2)
+                return pltpu.make_async_copy(
+                    hbm_ring.at[row], taps_buf.at[slot, bi, j - 1],
+                    rsem.at[slot, bi, j - 1])
+
+            def write_dma(step, l):
+                bi = int(_bidx_np[l])
+                size_ = int(_sizes_np[l])
+                hoff = int(_hoffs_np[l])
+                row = hoff + jax.lax.rem(step, size_)
+                slot = jax.lax.rem(step, 2)
+                return pltpu.make_async_copy(
+                    wcur.at[slot, bi], hbm_ring.at[row],
+                    wsem.at[slot, bi])
+
+            @pl.when(i == 0)
+            def _zero_hbm_ring():
+                # outputs start uninitialized; the fast-WaveNet queues
+                # start zeroed (wavenet_ops.py:177-186)
+                zbuf[...] = jnp.zeros_like(zbuf)
+                for c in range(_hbm_rows // _Z_CHUNK):
+                    dma = pltpu.make_async_copy(
+                        zbuf, hbm_ring.at[pl.ds(c * _Z_CHUNK, _Z_CHUNK)],
+                        rsem.at[0, 0, 0])
+                    dma.start()
+                    dma.wait()
+
+            @pl.when(i > 0)
+            def _retire_writes():
+                for l in _big_layers:
+                    write_dma(i - 1, l).wait()
+
+            @pl.when(i == 0)
+            def _prefetch_first():
+                for l in _big_layers:
+                    for j in range(1, K):
+                        read_dma(0, l, j).start()
+
+            @pl.when(i + 1 < length)
+            def _prefetch_next():
+                for l in _big_layers:
+                    for j in range(1, K):
+                        read_dma(i + 1, l, j).start()
 
         def dma_a(l, slot, p):
             return pltpu.make_async_copy(
@@ -303,9 +445,10 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
             for g in range(G):
                 l = bl * G + g
                 r0 = g * lay["a_rows"]
+                is_big = hybrid and isinstance(l, int) and _hoffs_np[l] >= 0
                 if isinstance(l, int):   # unrolled: fold the ring tables
                     d = int(_dils_np[l])
-                    off = int(_offs_np[l])
+                    off = int((_voffs_np if hybrid else _offs_np)[l])
                     size = int(_sizes_np[l])
                 else:
                     d = dil_ref[l]
@@ -318,11 +461,21 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                 # weights are resident).  Taps columns are rewritten per
                 # layer; lc columns persist for the whole cond frame.
                 stage[:, (K - 1) * R:K * R] = current
-                for j in range(1, K):
-                    past = ring[pl.ds(off + jax.lax.rem(t - j * d + j * size,
-                                                        size), 1)][0]  # [B, R]
-                    stage[:, (K - 1 - j) * R:(K - j) * R] = \
-                        past.astype(act_dtype)
+                if is_big:
+                    # taps were prefetched from the HBM ring during the
+                    # PREVIOUS step's compute; retire and consume
+                    bi = int(_bidx_np[l])
+                    slot = jax.lax.rem(t, 2)
+                    for j in range(1, K):
+                        read_dma(t, l, j).wait()
+                        stage[:, (K - 1 - j) * R:(K - j) * R] = \
+                            taps_buf[slot, bi, j - 1].astype(act_dtype)
+                else:
+                    for j in range(1, K):
+                        past = ring[pl.ds(off + jax.lax.rem(
+                            t - j * d + j * size, size), 1)][0]  # [B, R]
+                        stage[:, (K - 1 - j) * R:(K - j) * R] = \
+                            past.astype(act_dtype)
                 pre = jnp.dot(stage[...],
                               a[r0:r0 + lay["off_skip"], :2 * D],
                               preferred_element_type=jnp.float32,
@@ -340,7 +493,12 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                     gated = (jax.nn.sigmoid(pre[:, :D])
                              * jnp.tanh(pre[:, D:2 * D])).astype(act_dtype)
                 # push this layer's input, then skip + residual-update
-                ring[pl.ds(off + jax.lax.rem(t, size), 1)] = current[None]
+                if is_big:
+                    wcur[jax.lax.rem(t, 2), int(_bidx_np[l])] = current
+                    write_dma(t, l).start()
+                else:
+                    ring[pl.ds(off + jax.lax.rem(t, size), 1)] = \
+                        current[None]
                 if resident:
                     # the skip and res matmuls both consume `gated`: fuse
                     # them into ONE [B, D] x [D, S+R] dot against the
@@ -390,6 +548,12 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
             current, skip = lax.fori_loop(0, NB, block_body,
                                           (current, skip))
 
+        if hybrid:
+            @pl.when(i == length - 1)
+            def _final_write_retire():   # no step i+1 will wait for these
+                for l in _big_layers:
+                    write_dma(i, l).wait()
+
         net = jax.nn.relu(skip).astype(act_dtype)
         net = (jnp.dot(net, w_pp1[...], preferred_element_type=jnp.float32, precision=prec)
                + jnp.dot(lc_t, w_pp1_lc[...],
@@ -417,20 +581,68 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
     return kernel, lay
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "lc_channels", "dtype"))
+def _pack_jit(params, *, cfg: WavenetConfig, lc_channels: int, dtype):
+    """Device-side packing, split from the launch so repeated generate()
+    calls with the SAME params reuse the packed weights (measured 11.5 ms
+    of device time per pack on the shipped model — pure per-call overhead
+    for short clips).  Returns (a, res_raw, sr_fused, scales, small)."""
+    a, res, scales, small = pack_gen_params(params, cfg, lc_channels, dtype)
+    lay = _layout(cfg, lc_channels)
+    S, R, D = cfg.skip_filters, cfg.residual_filters, cfg.dilation_filters
+    # lane-concatenated [skip | res] block for the resident/hybrid modes
+    sr = jnp.zeros((cfg.num_layers, lay["res_rows"], S + R), res.dtype)
+    sr = sr.at[:, :D, :S].set(
+        a[:, lay["off_skip"]:lay["off_skip"] + D, :S].astype(res.dtype))
+    sr = sr.at[:, :D, S:].set(res[:, :D, :])
+    sr = sr.at[:, lay["off_res_bias"], :S].set(
+        a[:, lay["off_skip_bias"], :S].astype(res.dtype))
+    sr = sr.at[:, lay["off_res_bias"], S:].set(res[:, lay["off_res_bias"], :])
+    return a, res, sr, scales, small
+
+
+# packed-weight cache: params-identity -> packed tree.  jax Arrays are
+# immutable, so identity of the stacked layer kernel plus the static args
+# is a sound key; weakref.finalize evicts when the params are collected
+# (an id() can be reused after GC).
+_PACK_CACHE: dict = {}
+
+
+def _packed_for(params, cfg: WavenetConfig, lc_channels: int, dtype):
+    import weakref
+    anchor = params["layers"]["kernel"]
+    key = (id(anchor), cfg, lc_channels, jnp.dtype(dtype).name)
+    hit = _PACK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    packed = _pack_jit(params, cfg=cfg, lc_channels=lc_channels, dtype=dtype)
+    if len(_PACK_CACHE) > 8:
+        _PACK_CACHE.clear()
+    _PACK_CACHE[key] = packed
+    try:
+        weakref.finalize(anchor, _PACK_CACHE.pop, key, None)
+    except TypeError:
+        pass   # non-weakrefable leaf (e.g. numpy under interpret tests)
+    return packed
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "lc_channels", "length",
-                                             "mode", "dtype", "gate_order"))
-def _generate_pallas_jit(params, local_condition, global_condition, key, *,
+                                             "mode", "dtype", "gate_order",
+                                             "ring_mode"))
+def _generate_pallas_jit(packed, params, local_condition, global_condition,
+                         key, *,
                          cfg: WavenetConfig, lc_channels: int, length: int,
-                         mode: str, dtype, gate_order: str = "tanh_first"):
-    """Pack + launch + decode under ONE jit: a generate() call costs a
-    single dispatch.  (The packing/gc/seed/decode ops used to run eagerly
-    per call — dozens of small dispatches through the TPU tunnel, tens of
-    ms of per-call overhead that dwarfed the kernel itself on short
-    clips.)"""
+                         mode: str, dtype, gate_order: str = "tanh_first",
+                         ring_mode=None):
+    """Launch + decode under ONE jit (packing is cached separately in
+    _packed_for): a generate() call costs a single dispatch.  (The
+    packing/gc/seed/decode ops used to run eagerly per call — dozens of
+    small dispatches through the TPU tunnel, tens of ms of per-call
+    overhead that dwarfed the kernel itself on short clips.)"""
     from vqvae_wavenet_tpu.ops.mu_law import mu_law_decode
     b, t_cond, _ = local_condition.shape
     lc = jnp.transpose(local_condition, (1, 0, 2))      # [T_cond, B, C]
-    a, res, scales, small = pack_gen_params(params, cfg, lc_channels, dtype)
+    a, res_raw, sr_fused, scales, small = packed
 
     L, D, S = cfg.num_layers, cfg.dilation_filters, cfg.skip_filters
     cdt = jnp.bfloat16 if dtype == jnp.int8 else dtype
@@ -459,30 +671,20 @@ def _generate_pallas_jit(params, local_condition, global_condition, key, *,
     offs, dils, sizes, total_p = _ring_tables(cfg)
     # Fully-resident mode: the packed weights live in VMEM for the whole
     # clip (v5e has ~128MB VMEM — measured, not the 16MB of older guides),
-    # eliminating the per-step HBM weight stream entirely.  Falls back to
-    # the 4-slot DMA pipeline when the model doesn't fit (or for int8).
-    ring_bytes = (_ring_tables(cfg)[3] * batch * cfg.residual_filters
-                  * (2 if dtype != jnp.float32 else 4))
+    # eliminating the per-step HBM weight stream entirely.  Hybrid mode
+    # (round 3) keeps weights resident at large batch by moving the
+    # B-proportional large-dilation rings to HBM.  Falls back to the
+    # 4-slot DMA pipeline when neither fits (or for int8).
     lay = _layout(cfg, lc_channels)
     S, R, D = cfg.skip_filters, cfg.residual_filters, cfg.dilation_filters
-    sr_bytes = (cfg.num_layers * lay["res_rows"] * (S + R)
-                * res.dtype.itemsize)
-    resident_bytes = (a.size * a.dtype.itemsize + sr_bytes
-                      + ring_bytes + lc.size * lc.dtype.itemsize)
-    resident = (dtype != jnp.int8
-                and resident_bytes <= _RESIDENT_BUDGET_MB * 2 ** 20)
-    if resident:
-        # lane-concatenate the skip and res 1x1 kernels (+bias row) into one
-        # [L, res_rows, S+R] block so the kernel issues ONE dot for both
-        sr = jnp.zeros((cfg.num_layers, lay["res_rows"], S + R), res.dtype)
-        sr = sr.at[:, :D, :S].set(
-            a[:, lay["off_skip"]:lay["off_skip"] + D, :S].astype(res.dtype))
-        sr = sr.at[:, :D, S:].set(res[:, :D, :])
-        sr = sr.at[:, lay["off_res_bias"], :S].set(
-            a[:, lay["off_skip_bias"], :S].astype(res.dtype))
-        sr = sr.at[:, lay["off_res_bias"], S:].set(
-            res[:, lay["off_res_bias"], :])
-        res = sr
+    ring_mode = ring_mode or select_mode(cfg, lc_channels, batch, t_cond,
+                                         dtype)
+    resident = ring_mode in ("resident", "hybrid")
+    hybrid = ring_mode == "hybrid"
+    lc = lc.astype(cdt)   # the kernel consumes act dtype; halves lc VMEM
+    # resident/hybrid issue ONE dot against the pre-fused [skip | res]
+    # block (built once in _pack_jit); streaming keeps the raw res block
+    res = sr_fused if resident else res_raw
 
     # group G layers per block: [L, rows, cols] -> [L/G, G*rows, cols]
     # (row-contiguous, so the reshape is layout-preserving).  Streaming
@@ -492,8 +694,17 @@ def _generate_pallas_jit(params, local_condition, global_condition, key, *,
     a = a.reshape(cfg.num_layers // G, G * a.shape[1], a.shape[2])
     scales = scales.reshape(cfg.num_layers // G, G * scales.shape[1], 1)
     kernel, lay = _make_kernel(cfg, lc_channels, batch, length, t_cond,
-                               mode, dtype, gate_order, G, resident)
+                               mode, dtype, gate_order, G, resident,
+                               hybrid)
     PK = cfg.preprocess_kernel_size
+    act = jnp.bfloat16 if dtype == jnp.int8 else dtype
+    if hybrid:
+        K = cfg.kernel_size
+        R = cfg.residual_filters
+        _, _, _, bidx, vmem_ring_rows, hbm_rows = _hybrid_tables(cfg)
+        nbig = int((bidx >= 0).sum())
+    else:
+        vmem_ring_rows = total_p
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -516,8 +727,13 @@ def _generate_pallas_jit(params, local_condition, global_condition, key, *,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gcon [L, B, 2D]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # g_pp1 [B, S]
         ],
-        out_specs=pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            (pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec(memory_space=pltpu.ANY))   # HBM ring
+            if hybrid else
+            pl.BlockSpec((8, 128), lambda i, *_: (i // 8, 0),
+                         memory_space=pltpu.VMEM)),
         scratch_shapes=[
             # weight slots are only live in streaming mode
             pltpu.VMEM(((1, 8, 128) if resident else (4,) + a.shape[1:]),
@@ -525,21 +741,28 @@ def _generate_pallas_jit(params, local_condition, global_condition, key, *,
             # dequant staging is only live in int8 mode
             pltpu.VMEM(a.shape[1:] if dtype == jnp.int8 else (8, 128),
                        jnp.bfloat16 if dtype == jnp.int8 else a.dtype),
-            pltpu.VMEM((total_p, batch, cfg.residual_filters),
-                       jnp.bfloat16 if dtype == jnp.int8 else dtype),
+            pltpu.VMEM((vmem_ring_rows, batch, cfg.residual_filters), act),
             pltpu.VMEM((PK, batch), jnp.float32),
             pltpu.VMEM((1, batch), jnp.float32),
             # fused-dot input vector [B, K*R + C] (taps + lc columns)
-            pltpu.VMEM((batch, lay["off_skip"]),
-                       jnp.bfloat16 if dtype == jnp.int8 else dtype),
+            pltpu.VMEM((batch, lay["off_skip"]), act),
             pltpu.SemaphoreType.DMA((4, 4)),
-        ],
+        ] + ([
+            pltpu.VMEM((2, nbig, K - 1, batch, R), act),   # taps_buf
+            pltpu.VMEM((2, nbig, batch, R), act),          # wcur
+            pltpu.VMEM((128, batch, R), act),              # zbuf
+            pltpu.SemaphoreType.DMA((2, nbig, K - 1)),     # rsem
+            pltpu.SemaphoreType.DMA((2, nbig)),            # wsem
+        ] if hybrid else []),
     )
-    bins = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((_round_up(length, 8), 128), jnp.int32)
+    if hybrid:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((hbm_rows, batch, R), act))
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((_round_up(length, 8), 128),
-                                       jnp.int32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # the 4 G-layer weight slots + ring exceed Mosaic's default
@@ -550,6 +773,7 @@ def _generate_pallas_jit(params, local_condition, global_condition, key, *,
       small["b_ss"],
       small["w_pp1"], small["b_pp1"], small["w_pp1_lc"], small["w_pp2"],
       small["b_pp2"], gcon, g_pp1)
+    bins = out[0] if hybrid else out
     bins = bins[:length, :batch]
     return mu_law_decode(bins.T, cfg.quantization_channels)
 
@@ -557,7 +781,8 @@ def _generate_pallas_jit(params, local_condition, global_condition, key, *,
 def generate_pallas(params, cfg: WavenetConfig, local_condition, *,
                     length: int, seed: int = 0, key=None,
                     mode: str = "sample", dtype=jnp.bfloat16,
-                    gate_order: str = "tanh_first", global_condition=None):
+                    gate_order: str = "tanh_first", global_condition=None,
+                    ring_mode=None):
     """Whole-clip generation in one Pallas kernel.
 
     local_condition: [B, T_cond, C].  Returns float waveform [B, length].
@@ -575,7 +800,9 @@ def generate_pallas(params, cfg: WavenetConfig, local_condition, *,
     assert length % t_cond == 0
     if key is None:
         key = jax.random.PRNGKey(seed)
-    return _generate_pallas_jit(params, local_condition, global_condition,
+    packed = _packed_for(params, cfg, c, dtype)
+    return _generate_pallas_jit(packed, params, local_condition,
+                                global_condition,
                                 key, cfg=cfg, lc_channels=c, length=length,
                                 mode=mode, dtype=dtype,
-                                gate_order=gate_order)
+                                gate_order=gate_order, ring_mode=ring_mode)
