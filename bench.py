@@ -36,21 +36,55 @@ def main():
     params = init_wavenet_params(key, cfg, lc_channels=lc_channels)
     lc = jax.random.normal(jax.random.PRNGKey(1), (batch, t_cond, lc_channels))
 
-    # ---- fast path: whole clip as ONE fused Pallas kernel (bf16 weight
-    # streaming with a 3-slot DMA pipeline + in-kernel Gumbel sampling);
-    # engine='auto' picks it on TPU, falling back to the XLA scan
+    # ---- fast path: whole clip as ONE fused Pallas kernel (VMEM-resident
+    # weights + in-kernel Gumbel sampling); engine='auto' picks it on TPU,
+    # falling back to the XLA scan
     wav = generate(params, cfg, lc, length=length, key=key,
                    compute_dtype=jnp.bfloat16, engine="auto")  # compile
     wav.block_until_ready()
-    fast_time = float("inf")   # best-of-3: the tunnel adds ~ms-level
-    for trial in range(3):     # dispatch jitter per call
+    lat_time = float("inf")    # best-of-3 single-call latency: includes
+    for trial in range(3):     # one full host->TPU dispatch round trip
         t0 = time.perf_counter()
         wav = generate(params, cfg, lc, length=length,
                        key=jax.random.PRNGKey(2 + trial),
                        compute_dtype=jnp.bfloat16, engine="auto")
         wav.block_until_ready()
-        fast_time = min(fast_time, time.perf_counter() - t0)
+        lat_time = min(lat_time, time.perf_counter() - t0)
+
+    # sustained throughput: clips dispatched back-to-back (the steady
+    # state of any batch-conversion or serving workload) so the per-call
+    # host->device round trip — ~30 ms through this remote-TPU tunnel,
+    # measured in PERF.md #19 — amortizes instead of being counted once
+    # per clip.  This is the headline number; single-call latency is
+    # reported alongside.
+    n_pipe = 4
+    t0 = time.perf_counter()
+    wavs = [generate(params, cfg, lc, length=length,
+                     key=jax.random.PRNGKey(10 + i),
+                     compute_dtype=jnp.bfloat16, engine="auto")
+            for i in range(n_pipe)]
+    for w in wavs:
+        w.block_until_ready()
+    fast_time = (time.perf_counter() - t0) / n_pipe
     fast_sps = length / fast_time
+
+    # ---- aggregate throughput at large batch: B=32 routes through the
+    # HYBRID kernel (weights resident, large-dilation rings in HBM)
+    b32 = 32
+    lc32 = jax.random.normal(jax.random.PRNGKey(5),
+                             (b32, t_cond, lc_channels))
+    agg_time = float("inf")
+    w = generate(params, cfg, lc32, length=length, key=key,
+                 compute_dtype=jnp.bfloat16, engine="auto")  # compile
+    w.block_until_ready()
+    for trial in range(2):
+        t0 = time.perf_counter()
+        w = generate(params, cfg, lc32, length=length,
+                     key=jax.random.PRNGKey(20 + trial),
+                     compute_dtype=jnp.bfloat16, engine="auto")
+        w.block_until_ready()
+        agg_time = min(agg_time, time.perf_counter() - t0)
+    agg_sps = b32 * length / agg_time
 
     # ---- baseline proxy: one device dispatch + host sync per sample
     step_jit = jax.jit(lambda st, x, l: gen_step(params, cfg, st, x, l))
@@ -110,6 +144,8 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(fast_sps / base_sps, 2),
         "baseline_per_sample_dispatch_sps": round(base_sps, 2),
+        "single_call_latency_sps": round(length / lat_time, 2),
+        "aggregate_b32_sps": round(agg_sps, 2),
         "clip_seconds_equiv": round(fast_sps / 16000.0, 3),
         "batch": batch,
         "length": length,
