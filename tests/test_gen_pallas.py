@@ -178,6 +178,24 @@ def test_select_mode_shipped_config():
     assert gen_pallas.select_mode(cfg, 128, 1, 64, jnp.int8) == "streamed"
 
 
+@pytest.mark.slow
+def test_pack_cache_keyed_by_params(key, interpret_pallas):
+    """The packed-weight cache must key on params IDENTITY: different
+    params repack (no stale hit), same params reuse bit-identically."""
+    cfg = tiny_cfg()
+    p1 = init_wavenet_params(key, cfg, lc_channels=128)
+    p2 = init_wavenet_params(jax.random.PRNGKey(9), cfg, lc_channels=128)
+    lc = jax.random.normal(jax.random.PRNGKey(5), (1, 4, 128)) * 0.3
+    a = np.asarray(gen_pallas.generate_pallas(
+        p1, cfg, lc, length=16, mode="greedy", dtype=jnp.float32))
+    b = np.asarray(gen_pallas.generate_pallas(
+        p2, cfg, lc, length=16, mode="greedy", dtype=jnp.float32))
+    c = np.asarray(gen_pallas.generate_pallas(
+        p1, cfg, lc, length=16, mode="greedy", dtype=jnp.float32))
+    assert not np.allclose(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
 def test_int8_pack_roundtrip(key):
     """Per-row int8 quantization reconstructs weights to ~1% relative."""
     cfg = tiny_cfg()

@@ -109,3 +109,54 @@ def test_magenta_generate_e2e(key):
     w = np.asarray(wav)
     assert w.shape == (1, 128)
     assert np.isfinite(w).all() and np.abs(w).max() <= 1.0
+
+
+HW_MAGENTA_TRAIN_SCRIPT = """
+import sys
+import jax, jax.numpy as jnp
+import numpy as np
+if jax.devices()[0].platform not in ("tpu", "axon"):
+    print("SKIP"); sys.exit(0)
+from vqvae_wavenet_tpu.config import ModelConfig
+from vqvae_wavenet_tpu.models import magenta as mg
+# the full preset, NOT monkeypatched (Magenta/config.py:4-16)
+assert mg.NUM_LAYERS == 50 and mg.WIDTH == 256 and mg.SKIP_WIDTH == 512
+cfg = ModelConfig.from_json("magenta_parameters.json")
+from vqvae_wavenet_tpu.training.train_loop import (
+    init_train_state, make_jit_train_step)
+ts = init_train_state(jax.random.PRNGKey(0), cfg, 109)
+step = make_jit_train_step(cfg)
+x = jax.random.uniform(jax.random.PRNGKey(1), (2, 6144, 1),
+                       minval=-0.9, maxval=0.9)
+y = jax.nn.one_hot(jnp.arange(2) % 109, 109)[:, None, :]
+losses = []
+for _ in range(4):
+    ts, m = step(ts, {"x": x, "y": y}, None)
+    losses.append(float(m["loss"]))
+assert np.isfinite(losses).all(), losses
+assert losses[-1] < losses[0], losses
+print("OK", [round(l, 3) for l in losses])
+"""
+
+
+@pytest.mark.slow
+def test_hardware_magenta_full_preset_train_step():
+    """The REAL 50-layer Magenta preset (no module-constant shrinking)
+    compiles and trains on TPU hardware: 4 full train steps, finite and
+    decreasing loss.  Runs the default (axon/TPU) backend in a
+    subprocess; skips when no TPU is attached.  (Round-2 weakness: the
+    CLI e2e test monkeypatched NUM_LAYERS down, so the unshrunk preset
+    was never validated for training.)"""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run(
+        [sys.executable, "-c", HW_MAGENTA_TRAIN_SCRIPT],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=3000)
+    if "SKIP" in out.stdout:
+        pytest.skip("no TPU backend available")
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout, out.stdout

@@ -218,6 +218,9 @@ def main(argv=None):
             progress = "\r[step %d] %.2f" % (
                 gs + step, step / args.num_steps * 100) + "%"
             loss_str = " [recons %.5f] [lr %.5f]" % (rl, lr)
+            if "distances_mean" in metrics:   # mean ||z_e - e||^2 — a live
+                loss_str += " [dist %.2f]" % float(   # codebook-health cue
+                    np.asarray(metrics["distances_mean"]))
             second = (args.num_steps - step) * t
             print(progress + loss_str + display_time(t, second), end="")
             sys.stdout.flush()
