@@ -27,13 +27,9 @@ from jax import lax
 from vqvae_wavenet_tpu.config import WavenetConfig
 from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
 from vqvae_wavenet_tpu.ops.conv import (
-    shift_right, conv1d, causal_conv1d, dilated_conv_taps, add_condition,
+    shift_right, causal_conv1d, dilated_conv_taps, add_condition,
     uniform_unit_scaling_init,
 )
-
-# perf-experiment knob: run the residual 1x1 as a conv op instead of an
-# einsum (layout consistency with the neighboring dilated convs)
-_RES_AS_CONV = False
 
 
 def init_wavenet_params(key, cfg: WavenetConfig, lc_channels: Optional[int],
@@ -201,14 +197,9 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
         else:
             skip = skip + jnp.einsum("btc,cf->btf", gated, p["skip_kernel"],
                                      preferred_element_type=jnp.float32) + p["skip_bias"]
-        if _RES_AS_CONV:
-            net = (net + conv1d(gated, p["res_kernel"][None], None,
-                                padding="VALID")
-                   + p["res_bias"]).astype(compute_dtype)
-        else:
-            net = (net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
-                                    preferred_element_type=jnp.float32)
-                   + p["res_bias"]).astype(compute_dtype)
+        net = (net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
+                                preferred_element_type=jnp.float32)
+               + p["res_bias"]).astype(compute_dtype)
         if pad_mask is not None:
             net = net * pad_mask.astype(net.dtype)
         return net, skip
