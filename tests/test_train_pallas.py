@@ -1,0 +1,170 @@
+"""Fused Pallas TRAINING residual-stack kernel: forward + gradient parity
+with the unrolled XLA path (interpreter mode on CPU; compiled validation
+and throughput happen on TPU, PERF.md #21).
+
+The kernel fuses the whole teacher-forced residual stack
+(Decoder/WaveNet/wavenet.py:24-100 + wavenet_ops.py:104-138) per time
+tile; its custom-VJP backward is matmul-only over saved activations, so
+gradient parity against jax.grad of the XLA path is the load-bearing
+check here.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvae_wavenet_tpu.config import WavenetConfig
+from vqvae_wavenet_tpu.models.wavenet import init_wavenet_params, \
+    wavenet_logits
+from vqvae_wavenet_tpu.ops import train_pallas
+
+
+def tiny_cfg():
+    # channel sizes at TPU-lane granularity (the kernel requires 128-mult)
+    return WavenetConfig(
+        quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 8], kernel_size=3, dilation_filters=64,
+        skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+        preprocess_filters=128)
+
+
+def make_inputs(cfg, B, T, t_cond, dtype=jnp.float32, seed=0):
+    params = init_wavenet_params(jax.random.PRNGKey(seed), cfg,
+                                 lc_channels=128)
+    x = jax.random.uniform(jax.random.PRNGKey(seed + 1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    lc = jax.random.normal(jax.random.PRNGKey(seed + 2),
+                           (B, t_cond, 128)) * 0.3
+    if dtype == jnp.bfloat16:
+        params = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16), params)
+        x, lc = x.astype(jnp.bfloat16), lc.astype(jnp.bfloat16)
+    return params, x, lc
+
+
+def test_eligibility_gate():
+    cfg = tiny_cfg()
+    ok = train_pallas.fused_stack_eligible(
+        cfg, 1, 128, 16, jnp.float32, True, False, False)
+    assert ok
+    # shipped 30-layer config at the training shape (B=8, len 6656,
+    # encoder stride 64) is eligible in bf16; f32 doubles the resident
+    # weights (~71 MB) + history arena (~51 MB) past the VMEM plan
+    full = WavenetConfig()
+    assert train_pallas.fused_stack_eligible(
+        full, 8, 6656, 104, jnp.bfloat16, True, False, False)
+    assert not train_pallas.fused_stack_eligible(
+        full, 8, 6656, 104, jnp.float32, True, False, False)
+    # hard gates: global conditioning, pad_mask (SP halos), missing lc,
+    # non-lane-multiple channels, too-low condition rate
+    assert not train_pallas.fused_stack_eligible(
+        cfg, 1, 128, 16, jnp.float32, True, True, False)
+    assert not train_pallas.fused_stack_eligible(
+        cfg, 1, 128, 16, jnp.float32, True, False, True)
+    assert not train_pallas.fused_stack_eligible(
+        cfg, 1, 128, 16, jnp.float32, False, False, False)
+    bad = WavenetConfig(
+        quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 8], kernel_size=3, dilation_filters=48,
+        skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+        preprocess_filters=128)
+    assert not train_pallas.fused_stack_eligible(
+        bad, 1, 128, 16, jnp.float32, True, False, False)
+    assert not train_pallas.fused_stack_eligible(
+        cfg, 1, 128, 32, jnp.float32, True, False, False)  # FR=4 < 8
+
+
+@pytest.mark.slow
+def test_fused_forward_matches_xla_f32(key):
+    cfg = tiny_cfg()
+    params, x, lc = make_inputs(cfg, B=1, T=128, t_cond=16)
+    ref = np.asarray(wavenet_logits(params, cfg, x, lc, engine="xla"))
+    got = np.asarray(wavenet_logits(params, cfg, x, lc, engine="pallas"))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_forward_multitile_deep_history(key):
+    """T=1024 -> two 512 tiles, and the d=384 layer's (K-1)*d = 768-row
+    history exceeds the tile: exercises the cross-tile history carry,
+    the chunked in-arena shift (Hl > Tt), and the o >= Tt tap clip."""
+    cfg = WavenetConfig(
+        quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 384], kernel_size=3, dilation_filters=64,
+        skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+        preprocess_filters=128)
+    params, x, lc = make_inputs(cfg, B=1, T=1024, t_cond=128, seed=3)
+    ref = np.asarray(wavenet_logits(params, cfg, x, lc, engine="xla"))
+    got = np.asarray(wavenet_logits(params, cfg, x, lc, engine="pallas"))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_gradients_match_xla(key):
+    """Full-tree gradient parity: the custom-VJP backward (matmul-only,
+    saved activations) against jax.grad through the unrolled XLA stack.
+    Covers every layer-param grad (conv taps incl. the o >= T edge,
+    skip/res 1x1s + biases, condition projection + conv bias via the
+    folded lc_encb) AND the flow back into preprocess/skip_start."""
+    cfg = tiny_cfg()
+    params, x, lc = make_inputs(cfg, B=2, T=128, t_cond=16, seed=5)
+    w = jax.random.normal(jax.random.PRNGKey(9), (256,)) * 0.1
+
+    def loss(p, engine):
+        out = wavenet_logits(p, cfg, x, lc, engine=engine)
+        return jnp.mean(jnp.tanh(out) * w)
+
+    lr, gr = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+    lp_, gp = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
+    assert abs(float(lr) - float(lp_)) < 1e-5
+    flat_r = jax.tree_util.tree_flatten_with_path(gr)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(gp)[0]
+    for (kr, vr), (kp, vp) in zip(flat_r, flat_p):
+        assert kr == kp
+        vr, vp = np.asarray(vr, np.float64), np.asarray(vp, np.float64)
+        scale = np.abs(vr).max() + 1e-12
+        rel = np.abs(vr - vp).max() / scale
+        assert rel < 5e-3, (jax.tree_util.keystr(kr), rel)
+
+
+@pytest.mark.slow
+def test_fused_bf16_close_to_f32_reference(key):
+    """bf16 through the kernel tracks the f32 XLA reference about as
+    closely as the bf16 XLA path does (same tolerance class as the
+    mixed-precision parity test in test_training.py)."""
+    cfg = tiny_cfg()
+    params, x, lc = make_inputs(cfg, B=1, T=128, t_cond=16, seed=7)
+    ref = np.asarray(wavenet_logits(params, cfg, x, lc, engine="xla"),
+                     np.float32)
+    p16, x16, lc16 = make_inputs(cfg, B=1, T=128, t_cond=16,
+                                 dtype=jnp.bfloat16, seed=7)
+    got = np.asarray(wavenet_logits(p16, cfg, x16, lc16, engine="pallas"),
+                     np.float32)
+    xla16 = np.asarray(wavenet_logits(p16, cfg, x16, lc16, engine="xla"),
+                       np.float32)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 0.05
+    # kernel bf16 is no further from f32 truth than XLA bf16 (2x slack
+    # for summation-order luck)
+    assert np.abs(got - ref).max() <= 2 * np.abs(xla16 - ref).max() + 1e-3
+
+
+def test_engine_dispatch(key, monkeypatch):
+    """engine='auto' off-TPU keeps the XLA path (the kernel is TPU-only
+    by default); engine='pallas' forces the fused stack; engine='xla'
+    never consults eligibility."""
+    cfg = tiny_cfg()
+    params, x, lc = make_inputs(cfg, B=1, T=128, t_cond=16)
+    calls = []
+    real = train_pallas.fused_residual_stack
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(train_pallas, "fused_residual_stack", spy)
+    wavenet_logits(params, cfg, x, lc, engine="auto")
+    assert not calls            # CPU backend -> XLA path
+    wavenet_logits(params, cfg, x, lc, engine="pallas")
+    assert calls

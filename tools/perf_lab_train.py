@@ -65,7 +65,10 @@ def main():
     from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
 
     import dataclasses
-    mcfg = dataclasses.replace(ModelConfig(), train_dtype="bf16")
+    engine = sys.argv[sys.argv.index("--engine") + 1] \
+        if "--engine" in sys.argv else "auto"
+    mcfg = dataclasses.replace(ModelConfig(), train_dtype="bf16",
+                               train_engine=engine)
     cfg = mcfg.wavenet
     B, T = 8, 6656
     C = lc_channels(mcfg, 109)
@@ -89,7 +92,11 @@ def main():
         if "--variants" in sys.argv else None
 
     def sel(name):
-        return want is None or name in want
+        if want is None or name in want:
+            print(f"[{time.strftime('%H:%M:%S')}] variant {name} ...",
+                  flush=True)
+            return True
+        return False
 
     # ---- full step
     if sel("full"):
@@ -101,7 +108,8 @@ def main():
     if sel("dec_fwd"):
         @jax.jit
         def dec_fwd(p, x16, lc):
-            return wavenet_logits(p, cfg, x16, lc).astype(jnp.float32)
+            return wavenet_logits(p, cfg, x16, lc,
+                                  engine=engine).astype(jnp.float32)
         results["decoder_fwd"] = timeit(dec_fwd, dec16, x16, lc)
 
     # ---- decoder fwd+bwd
@@ -109,7 +117,7 @@ def main():
         @jax.jit
         def dec_fb(p, x16, lc):
             def loss(p):
-                logits = wavenet_logits(p, cfg, x16, lc)
+                logits = wavenet_logits(p, cfg, x16, lc, engine=engine)
                 return wavenet_loss(
                     logits.astype(jnp.float32).reshape(-1, 256), labels)
             return jax.value_and_grad(loss)(p)

@@ -139,6 +139,11 @@ class ModelConfig:
     # losses, encoder, VQ and the optimizer stay f32.  Default = reference
     # behavior (f32 everywhere).
     train_dtype: str = "f32"
+    # training decoder engine: "auto" uses the fused Pallas residual-stack
+    # kernel (ops/train_pallas.py) on TPU when the config is eligible;
+    # "xla" forces the unrolled XLA path; "pallas" forces the kernel
+    # (interpreted off-TPU — for tests).
+    train_engine: str = "auto"
 
     @classmethod
     def from_json(cls, path: str) -> "ModelConfig":
@@ -181,4 +186,5 @@ class ModelConfig:
             encoder_norm=p.get("encoder_norm", "batch"),
             codebook_init=p.get("codebook_init", "uniform_scaling"),
             train_dtype=p.get("train_dtype", "f32"),
+            train_engine=p.get("train_engine", "auto"),
         )

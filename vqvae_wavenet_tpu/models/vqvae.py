@@ -172,12 +172,13 @@ def vqvae_forward(params, state, cfg: ModelConfig, x, y, *, train: bool,
                                to_int=True).reshape(-1)
         logits = wavenet_logits(dec16, cfg.wavenet,
                                 x.astype(jnp.bfloat16),
-                                lc.astype(jnp.bfloat16))
+                                lc.astype(jnp.bfloat16),
+                                engine=cfg.train_engine)
         logits = logits.astype(jnp.float32).reshape(
             -1, cfg.wavenet.quantization_channels)
     else:
         logits, labels = wavenet_forward(params["decoder"], cfg.wavenet,
-                                         x, lc)
+                                         x, lc, engine=cfg.train_engine)
     recon = wavenet_loss(logits, labels)
     loss = recon
     aux["reconstruction_loss"] = recon

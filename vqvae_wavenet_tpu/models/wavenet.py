@@ -83,7 +83,8 @@ def init_wavenet_params(key, cfg: WavenetConfig, lc_channels: Optional[int],
 
 def wavenet_forward(params, cfg: WavenetConfig, inputs,
                     local_condition=None, global_condition=None,
-                    *, gate_order: str = "tanh_first"):
+                    *, gate_order: str = "tanh_first",
+                    engine: str = "auto"):
     """Teacher-forced forward pass.
 
     Args:
@@ -99,7 +100,8 @@ def wavenet_forward(params, cfg: WavenetConfig, inputs,
     labels = mu_law_encode(inputs, cfg.quantization_channels,
                            to_int=True).reshape(-1)
     net = wavenet_logits(params, cfg, inputs, local_condition,
-                         global_condition, gate_order=gate_order)
+                         global_condition, gate_order=gate_order,
+                         engine=engine)
     return net.reshape(-1, cfg.quantization_channels), labels
 
 
@@ -119,10 +121,16 @@ def _cycle_pattern(cfg: WavenetConfig):
 
 def wavenet_logits(params, cfg: WavenetConfig, inputs,
                    local_condition=None, global_condition=None,
-                   *, gate_order: str = "tanh_first", pad_mask=None):
+                   *, gate_order: str = "tanh_first", pad_mask=None,
+                   engine: str = "auto"):
     """Teacher-forced logits, unflattened [B, T, Q] (the building block for
     both wavenet_forward and the time-sharded SP path in
     parallel/timeshard.py).
+
+    engine: 'auto' routes the residual stack through the fused Pallas
+    training kernel (ops/train_pallas.py) on TPU when the config is
+    eligible; 'pallas' forces it (interpreted off-TPU, for tests);
+    'xla' keeps the unrolled XLA path.
 
     pad_mask: optional [1|B, T, 1] multiplier applied to the residual
     stream after the preprocess conv and after every layer.  The SP path
@@ -204,8 +212,24 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
             net = net * pad_mask.astype(net.dtype)
         return net, skip
 
+    use_fused = False
+    if engine != "xla" and pad_mask is None and has_lc and not has_gc:
+        from vqvae_wavenet_tpu.ops.train_pallas import (
+            fused_stack_eligible, fused_residual_stack)
+        on_tpu = jax.default_backend() == "tpu"
+        if (engine == "pallas" or on_tpu) and fused_stack_eligible(
+                cfg, B, T, t_cond, compute_dtype, has_lc, has_gc,
+                pad_mask is not None):
+            use_fused = True
+
     pattern = _cycle_pattern(cfg)
-    if cfg.num_layers <= 64:
+    if use_fused:
+        # fused Pallas training stack: whole-layer chain per time tile in
+        # VMEM, matmul-only custom backward (ops/train_pallas.py)
+        skip = skip + fused_residual_stack(
+            lp, cfg, net, local_condition, gate_order=gate_order,
+            interpret=not on_tpu)
+    elif cfg.num_layers <= 64:
         # fully unrolled: ~30% faster backward than the cycle-scan (the
         # scan's carry stacking/replay dominates, PERF.md #14); compile is
         # ~22 s for 30 layers — cheap at this depth.  The scans below
