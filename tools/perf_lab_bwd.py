@@ -22,17 +22,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, n=10, warmup=2):
+def timeit(fn, *args, n=20, warmup=2):
+    """Amortized-fetch timing.
+
+    On the axon remote backend jax.block_until_ready returns WITHOUT
+    waiting for device execution — only a host fetch syncs (measured:
+    0.36 ms "blocked" vs 58 ms fetched for the same program).  The
+    device queue executes in order, so fetching one element of the LAST
+    call's output forces all n calls to finish; one ~32 ms tunnel round
+    trip amortizes over n=20 to ~1.6 ms, subtracted via a no-op probe.
+    """
     import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
+    # tunnel round-trip probe: dispatch+fetch of an empty program
+    noop = jax.jit(lambda: jnp.zeros(()))
+    fetch(noop())
+    t0 = time.perf_counter()
+    fetch(noop())
+    rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    fetch(out)
+    dt = time.perf_counter() - t0
+    return max(dt - rtt, 1e-9) / n
 
 
 def main():

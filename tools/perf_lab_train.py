@@ -23,30 +23,55 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, *args, n=10, warmup=2):
+def _fetch(out):
+    """Force device completion by fetching one element to the host.
+
+    On the axon remote backend jax.block_until_ready returns WITHOUT
+    waiting for device execution — only a host fetch syncs.  The device
+    queue is in-order, so fetching from the LAST call's output forces
+    every queued call to finish."""
     import jax
+    import numpy as np
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+
+
+def _rtt():
+    import jax
+    import jax.numpy as jnp
+    noop = jax.jit(lambda: jnp.zeros(()))
+    _fetch(noop())
+    t0 = time.perf_counter()
+    _fetch(noop())
+    return time.perf_counter() - t0
+
+
+def timeit(fn, *args, n=20, warmup=2):
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
+    rtt = _rtt()
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    _fetch(out)
+    return max(time.perf_counter() - t0 - rtt, 1e-9) / n
 
 
-def chain_timeit(step, ts, batch, n=10, warmup=2):
+def chain_timeit(step, ts, batch, n=20, warmup=2):
     """Time a donated train step by chaining states."""
-    import jax
+    m = None
     for _ in range(warmup):
         ts, m = step(ts, batch, None)
-    jax.block_until_ready(m["loss"])
+    _fetch(m["loss"])
+    rtt = _rtt()
     t0 = time.perf_counter()
     for _ in range(n):
         ts, m = step(ts, batch, None)
-    jax.block_until_ready(m["loss"])
-    return (time.perf_counter() - t0) / n, ts
+    _fetch(m["loss"])
+    return max(time.perf_counter() - t0 - rtt, 1e-9) / n, ts
 
 
 def main():
