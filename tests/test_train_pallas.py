@@ -129,6 +129,47 @@ def test_fused_gradients_match_xla(key):
 
 
 @pytest.mark.slow
+def test_fused_gradients_multitile_ring(key):
+    """Gradient parity across MULTIPLE reverse time tiles with a layer
+    whose (K-1)*d exceeds the tile: exercises the fused backward's
+    cross-tile spill arena in BOTH modes — the small aligned regions
+    (d=1,2,4) and the Tt-chunk ring (d=384 -> 6 chunks at Tt=128) — plus
+    the tile-boundary dpre/act DMA rotation (PERF.md #22)."""
+    cfg = WavenetConfig(
+        quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 384], kernel_size=3, dilation_filters=64,
+        skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+        preprocess_filters=128)
+    params, x, lc = make_inputs(cfg, B=2, T=1024, t_cond=128, seed=11)
+    # the fused BACKWARD and dW kernels must actually be in play for
+    # these shapes (otherwise this parity test silently re-validates the
+    # XLA fallback)
+    assert train_pallas._make_bwd_kernel(
+        4, 3, 128, 64, 128, (1, 2, 4, 384), 2, 1024, 8,
+        "tanh_first", "f32", True) is not None
+    assert train_pallas._make_dk_kernel(
+        4, 3, 128, 64, 128, (1, 2, 4, 384), 2, 1024, "f32",
+        True) is not None
+    w = jax.random.normal(jax.random.PRNGKey(13), (256,)) * 0.1
+
+    def loss(p, engine):
+        out = wavenet_logits(p, cfg, x, lc, engine=engine)
+        return jnp.mean(jnp.tanh(out) * w)
+
+    lr, gr = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+    lp_, gp = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
+    assert abs(float(lr) - float(lp_)) < 1e-5
+    flat_r = jax.tree_util.tree_flatten_with_path(gr)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(gp)[0]
+    for (kr, vr), (kp, vp) in zip(flat_r, flat_p):
+        assert kr == kp
+        vr, vp = np.asarray(vr, np.float64), np.asarray(vp, np.float64)
+        scale = np.abs(vr).max() + 1e-12
+        rel = np.abs(vr - vp).max() / scale
+        assert rel < 5e-3, (jax.tree_util.keystr(kr), rel)
+
+
+@pytest.mark.slow
 def test_fused_bf16_close_to_f32_reference(key):
     """bf16 through the kernel tracks the f32 XLA reference about as
     closely as the bf16 XLA path does (same tolerance class as the

@@ -186,6 +186,21 @@ def main():
             return jnp.stack(outs)
         results["dW_slice_L30"] = timeit(dkslice, dpre_all, xst)
 
+    # ---- fused Pallas backward chain kernel alone (PERF.md #22)
+    if sel("pbwd"):
+        from vqvae_wavenet_tpu.ops import train_pallas
+        bwd_call = train_pallas._make_bwd_kernel(
+            L, K, R, D, S, dils, B, T, 64, "tanh_first", "bf16", False)
+        assert bwd_call is not None
+        k16 = jax.random.normal(jax.random.PRNGKey(7), (L, K, R, D2),
+                                cdtype) * 0.05
+        jcall = jax.jit(lambda a, ds, kt, rt, st:
+                        bwd_call(kt, rt, st, ds, a))
+        kT = k16.transpose(0, 1, 3, 2)
+        rT = resw.transpose(0, 2, 1)
+        sT = skipw.transpose(0, 2, 1)
+        results["pallas_bwd_chain"] = timeit(jcall, act, dskip, kT, rT, sT)
+
     # ---- skip/res weight grads + bias reductions, all layers
     if sel("wgrads"):
         @jax.jit

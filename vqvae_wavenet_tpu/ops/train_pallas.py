@@ -52,6 +52,408 @@ def _round_up(x: int, m: int) -> int:
 # (v5e VMEM is ~128 MB/core; leave headroom for Mosaic's own buffers)
 _TRAIN_VMEM_BUDGET_MB = 100.0
 
+# Backward engine: 'auto' (fused Pallas backward kernel when the config
+# fits, else slice), 'slice' (shifted-slice einsums), or 'conv'
+# (linear_transpose of conv1d).  Module-level so the perf lab can A/B;
+# read at trace time.
+_BWD_FORM = "auto"
+
+
+def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize):
+    """Tile size + spill-arena layout for the fused BACKWARD kernel.
+
+    The backward sweeps time tiles in REVERSE; per layer, dX[t] receives
+    tap contributions from dpre[t + j*d] (j=1..K-1) computed at LATER
+    tiles, so a VMEM arena carries the pending contributions across
+    tiles.  Layers with (K-1)*d <= Tt use a small 16-row-aligned region
+    (fully consumed and rewritten every tile); layers with d % Tt == 0
+    use a ring of (K-1)*d/Tt chunks addressed by tile index.  Any other
+    dilation/tile combination is ineligible (never hit by the shipped
+    power-of-two schedules).
+    """
+    D2 = 2 * D
+    resident = (L * K * D2 * R + L * R * D + L * S * D) * itemsize
+    accum = (L * D * S + L * D * R + L * R) * 4
+    for Tt in (256, 128, 64):
+        if T % Tt or Tt % FR:
+            continue
+        Ft = Tt // FR
+        offs, modes, off = [], [], 0
+        ok = True
+        for d in dils:
+            Hl = (K - 1) * d
+            if Hl <= Tt:
+                sz, mode = _round_up(Hl, 16), "small"
+            elif d % Tt == 0:
+                sz, mode = Hl, "ring"   # Hl = (K-1)*d, a Tt multiple
+            else:
+                ok = False
+                break
+            offs.append(off)
+            modes.append(mode)
+            off += sz
+        if not ok:
+            continue
+        arena = B * max(off, 16) * R * itemsize
+        tile = (4 * B * Tt * D2 * itemsize      # act + dpre DMA slots
+                + 2 * B * Tt * S * itemsize     # dskip in pipeline
+                + 2 * B * Tt * R * itemsize     # dx0 out pipeline
+                + 2 * L * Ft * B * D2 * 4       # dlc out pipeline
+                + B * Tt * R * 4                # dX carry (f32)
+                + B * Tt * D2 * 4               # dgated (f32)
+                + 2 * B * Tt * R * 4)           # tap-product values
+        if resident + accum + arena + tile <= _TRAIN_VMEM_BUDGET_MB * 2 ** 20:
+            return {"Tt": Tt, "n_tiles": T // Tt, "Ft": Ft,
+                    "offs": tuple(offs), "modes": tuple(modes),
+                    "AR": max(off, 16)}
+    return None
+
+
+@functools.lru_cache(maxsize=16)
+def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
+                     cdtype_name, interpret):
+    """Fused Pallas BACKWARD for the residual stack (PERF.md #22).
+
+    One sequential grid over time tiles processed in REVERSE; per tile
+    the whole L-layer chain runs in VMEM:
+      dgated_l = dX @ resw_l^T + dskip @ skipw_l^T      (MXU)
+      dpre_l   = gate derivative over the SAVED tanh/sigmoid (VPU)
+      dX      += per-tap dpre_l @ W_j^T, cross-tile rows via the arena
+      dsk/drs/drb accumulate in f32 VMEM outputs (revisited blocks);
+      dlc reduces dpre per condition frame; dpre streams to HBM via
+      double-buffered DMA for the outside matmul-only dW pass.
+    Returns a callable (k16T, reswT, skipwT, dskip16) ->
+      (dpre [L,B,T,D2] cdtype, dx0 [B,T,R] cdtype, dlc [L,F,B,D2] f32,
+       dsk [L,D,S] f32, drs [L,D,R] f32, drb [L,R] f32)
+    or None if no plan fits.
+    """
+    cdtype = jnp.bfloat16 if cdtype_name == "bf16" else jnp.float32
+    itemsize = 2 if cdtype == jnp.bfloat16 else 4
+    D2 = 2 * D
+    plan = _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize)
+    if plan is None:
+        return None
+    Tt, n_tiles, Ft = plan["Tt"], plan["n_tiles"], plan["Ft"]
+    offs, modes, AR = plan["offs"], plan["modes"], plan["AR"]
+    F = T // FR
+    tanh_first = gate_order == "tanh_first"
+    f32 = jnp.float32
+
+    def body(k16T, reswT, skipwT, dskip_ref, act_hbm,
+             dpre_hbm, dx0_ref, dlc_ref, dsk_ref, drs_ref, drb_ref,
+             arena, actsl, dpresl, asem, psem):
+        i = pl.program_id(0)
+        it = n_tiles - 1 - i          # reverse sweep
+        t0 = it * Tt
+
+        @pl.when(i == 0)
+        def _init():
+            arena[...] = jnp.zeros_like(arena)
+            dsk_ref[...] = jnp.zeros_like(dsk_ref)
+            drs_ref[...] = jnp.zeros_like(drs_ref)
+            drb_ref[...] = jnp.zeros_like(drb_ref)
+
+        def act_dma(slot, l):
+            return pltpu.make_async_copy(
+                act_hbm.at[l, :, pl.ds(t0, Tt), :],
+                actsl.at[slot], asem.at[slot])
+
+        def pre_dma(slot, l):
+            return pltpu.make_async_copy(
+                dpresl.at[slot],
+                dpre_hbm.at[l, :, pl.ds(t0, Tt), :], psem.at[slot])
+
+        act_dma((L - 1) % 2, L - 1).start()
+        act_dma((L - 2) % 2, L - 2).start()
+
+        dskip16 = dskip_ref[...]
+        dskip2 = dskip16.reshape(B * Tt, S)
+        dX = jnp.zeros((B, Tt, R), f32)
+        one = jnp.asarray(1.0, cdtype)
+
+        for l in reversed(range(L)):
+            d = dils[l]
+            Hl = (K - 1) * d
+            roff = offs[l]
+            slot = l % 2
+            act_dma(slot, l).wait()
+            f16 = actsl[slot, :, :, :D]
+            g16 = actsl[slot, :, :, D:]
+            gated = f16 * g16
+            # act slot fully read — refill it for layer l-2 while the
+            # rest of this layer (and all of l-1) computes
+            if l >= 2:
+                act_dma(slot, l - 2).start()
+
+            dX16 = dX.astype(cdtype)
+            dg = (jnp.dot(dX16.reshape(B * Tt, R), reswT[l],
+                          preferred_element_type=f32)
+                  + jnp.dot(dskip2, skipwT[l],
+                            preferred_element_type=f32))
+            dg16 = dg.astype(cdtype).reshape(B, Tt, D)
+            if tanh_first:
+                da = dg16 * g16 * (one - f16 * f16)
+                db = dg16 * f16 * g16 * (one - g16)
+            else:
+                da = dg16 * g16 * f16 * (one - f16)
+                db = dg16 * f16 * (one - g16 * g16)
+
+            # stream dpre to HBM for the outside dW pass
+            if l + 2 <= L - 1:
+                pre_dma(slot, l + 2).wait()
+            dpresl[slot, :, :, :D] = da
+            dpresl[slot, :, :, D:] = db
+            pre_dma(slot, l).start()
+
+            # ---- weight-grad accumulators (f32, revisited VMEM blocks)
+            g2 = gated.reshape(B * Tt, D)
+            dn = (((0,), (0,)), ((), ()))    # contract over B*Tt rows
+            dsk_ref[l, :, :] += jax.lax.dot_general(
+                g2, dskip2, dn, preferred_element_type=f32)
+            drs_ref[l, :, :] += jax.lax.dot_general(
+                g2, dX16.reshape(B * Tt, R), dn,
+                preferred_element_type=f32)
+            drb_ref[l:l + 1, :] = (drb_ref[l:l + 1, :]
+                                   + dX.sum(axis=(0, 1))[None, :])
+
+            # ---- condition grad, reduced per FR-sample frame
+            for fidx in range(Ft):
+                sl = slice(fidx * FR, (fidx + 1) * FR)
+                dlc_ref[l, fidx, :, :D] = da[:, sl, :].astype(f32).sum(1)
+                dlc_ref[l, fidx, :, D:] = db[:, sl, :].astype(f32).sum(1)
+
+            # ---- dX taps: dX[t] += dpre[t + o_j] @ W_j^T; rows landing
+            # before this tile spill into the arena for later grid steps
+            da2 = da.reshape(B * Tt, D)
+            db2 = db.reshape(B * Tt, D)
+            if modes[l] == "ring":
+                nc = Hl // Tt
+                ci = jnp.remainder(it, nc)
+                pend = arena[:, pl.ds(roff + ci * Tt, Tt), :]
+                dX = dX + pend.astype(f32)
+            else:
+                pend = arena[:, roff + _round_up(Hl, 16) - Hl:
+                             roff + _round_up(Hl, 16), :]
+                # (jnp.pad, not .at[].add: scatter-add lowers to a
+                # captured-constant gather index Pallas rejects)
+                dX = dX + jnp.pad(pend.astype(f32),
+                                  ((0, 0), (Tt - Hl, 0), (0, 0)))
+            first_spill = True
+            for j in range(K):
+                o = (K - 1 - j) * d
+                c = (jnp.dot(da2, k16T[l, j, :D, :],
+                             preferred_element_type=f32)
+                     + jnp.dot(db2, k16T[l, j, D:, :],
+                               preferred_element_type=f32)
+                     ).reshape(B, Tt, R)
+                if o == 0:
+                    dX = dX + c
+                elif modes[l] == "ring":
+                    # lands in exactly one Tt-aligned chunk (o % Tt == 0)
+                    cj = jnp.remainder(it - o // Tt, nc)
+                    ds = pl.ds(roff + cj * Tt, Tt)
+                    if first_spill:   # the chunk consumed above: SET
+                        arena[:, ds, :] = c.astype(cdtype)
+                    else:
+                        old = arena[:, ds, :]
+                        arena[:, ds, :] = (old.astype(f32)
+                                           + c).astype(cdtype)
+                    first_spill = False
+                else:
+                    szr = _round_up(Hl, 16)
+                    m_in = Tt - o        # rows landing inside the tile
+                    if m_in > 0:
+                        dX = dX + jnp.pad(c[:, o:, :],
+                                          ((0, 0), (0, o), (0, 0)))
+                    sp = jnp.pad(c[:, :o, :],
+                                 ((0, 0), (szr - o, 0), (0, 0)))
+                    if first_spill:   # largest tap covers [Hl-o, Hl) =
+                        # the whole semantic region (o == Hl): SET
+                        arena[:, roff:roff + szr, :] = sp.astype(cdtype)
+                    else:
+                        reg = arena[:, roff:roff + szr, :]
+                        arena[:, roff:roff + szr, :] = (
+                            reg.astype(f32) + sp).astype(cdtype)
+                    first_spill = False
+
+            if l == 0:
+                dx0_ref[...] = dX.astype(cdtype)
+
+        # retire the last two dpre DMAs (layers 1 and 0)
+        pre_dma(1 % 2, 1).wait()
+        pre_dma(0, 0).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # k16T
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # reswT
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # skipwT
+            pl.BlockSpec((B, Tt, S),
+                         lambda i: (0, n_tiles - 1 - i, 0)),     # dskip
+            pl.BlockSpec(memory_space=pltpu.ANY),                # act
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),                # dpre
+            pl.BlockSpec((B, Tt, R),
+                         lambda i: (0, n_tiles - 1 - i, 0)),     # dx0
+            pl.BlockSpec((L, Ft, B, D2),
+                         lambda i: (0, n_tiles - 1 - i, 0, 0)),  # dlc
+            pl.BlockSpec((L, D, S), lambda i: (0, 0, 0)),        # dsk
+            pl.BlockSpec((L, D, R), lambda i: (0, 0, 0)),        # drs
+            pl.BlockSpec((L, R), lambda i: (0, 0)),              # drb
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, AR, R), cdtype),         # spill arena
+            pltpu.VMEM((2, B, Tt, D2), cdtype),     # act slots
+            pltpu.VMEM((2, B, Tt, D2), cdtype),     # dpre slots
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def bwd_call(k16T, reswT, skipwT, dskip16, act):
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((L, B, T, D2), cdtype),
+                jax.ShapeDtypeStruct((B, T, R), cdtype),
+                jax.ShapeDtypeStruct((L, F, B, D2), jnp.float32),
+                jax.ShapeDtypeStruct((L, D, S), jnp.float32),
+                jax.ShapeDtypeStruct((L, D, R), jnp.float32),
+                jax.ShapeDtypeStruct((L, R), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=int(_TRAIN_VMEM_BUDGET_MB * 2 ** 20) +
+                8 * 2 ** 20),
+            interpret=interpret,
+        )(k16T, reswT, skipwT, dskip16, act)
+
+    return bwd_call
+
+
+@functools.lru_cache(maxsize=16)
+def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
+    """Fused Pallas dW pass (PERF.md #23): dk[l,j] = sum_t x_l[t-o_j]
+    dpre_l[t] accumulated in a resident [L,K,R,2D] f32 VMEM block.
+
+    Grid over time tiles (forward order, no cross-tile state); per
+    (tile, layer) one DMA brings the [t0-Hl, t0+Tt) slab of the padded
+    layer input (xpad from the forward kernel) and one brings the dpre
+    tile (from the chain kernel, #22), so each tap is one
+    [B*Tt, R] x [B*Tt, 2D] row-contraction dot.  Rows with t < o_j
+    (the causal zero pad, wavenet_ops.py:81-87) read the uninitialized
+    xpad margin and are masked to zero by row index.  Returns a callable
+    (dpre [L,B,T,D2], xpad [L,B,PAD+T,R]) -> dk [L,K,R,2D] f32, or None
+    if the accumulator + slabs exceed the VMEM budget.
+    """
+    cdtype = jnp.bfloat16 if cdtype_name == "bf16" else jnp.float32
+    itemsize = 2 if cdtype == jnp.bfloat16 else 4
+    D2 = 2 * D
+    PAD = _round_up((K - 1) * max(dils), 16)
+    f32 = jnp.float32
+    plan_tt = None
+    for Tt in (256, 128, 64):
+        if T % Tt:
+            continue
+        need = (L * K * R * D2 * 4                     # dk accumulator
+                + 2 * B * (PAD + Tt) * R * itemsize    # x slab slots
+                + 2 * B * Tt * D2 * itemsize           # dpre slots
+                + 4 * B * Tt * max(R, D2) * 4)         # live values
+        if need <= _TRAIN_VMEM_BUDGET_MB * 2 ** 20:
+            plan_tt = Tt
+            break
+    if plan_tt is None:
+        return None
+    Tt = plan_tt
+    n_tiles = T // Tt
+
+    def body(dpre_hbm, xpad_hbm, dk_ref, xsl, dsl, xsem, dsem):
+        i = pl.program_id(0)
+        t0 = i * Tt
+
+        @pl.when(i == 0)
+        def _zero():
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+
+        def x_dma(slot, l):
+            # halo rounded to 16 rows: HBM DMA slices must be
+            # sublane-aligned; tap reads below use exact static offsets
+            Hlr = _round_up((K - 1) * dils[l], 16)
+            return pltpu.make_async_copy(
+                xpad_hbm.at[l, :, pl.ds(PAD + t0 - Hlr, Hlr + Tt), :],
+                xsl.at[slot, :, pl.ds(0, Hlr + Tt), :],
+                xsem.at[slot])
+
+        def d_dma(slot, l):
+            return pltpu.make_async_copy(
+                dpre_hbm.at[l, :, pl.ds(t0, Tt), :],
+                dsl.at[slot], dsem.at[slot])
+
+        for l in (0, 1):
+            x_dma(l, l).start()
+            d_dma(l, l).start()
+        rowidx = jax.lax.broadcasted_iota(jnp.int32, (1, Tt, 1), 1)
+
+        for l in range(L):
+            d = dils[l]
+            Hlr = _round_up((K - 1) * d, 16)
+            slot = l % 2
+            x_dma(slot, l).wait()
+            d_dma(slot, l).wait()
+            dp2 = dsl[slot].reshape(B * Tt, D2)
+            xs = []
+            for j in range(K):
+                o = (K - 1 - j) * d
+                v = xsl[slot, :, Hlr - o:Hlr - o + Tt, :]
+                if o:
+                    # absolute t < o_j reads the uninitialized pad
+                    # margin: zero it (the causal left pad)
+                    v = jnp.where(rowidx >= o - t0, v,
+                                  jnp.zeros_like(v))
+                xs.append(v)
+            if l + 2 <= L - 1:
+                x_dma(slot, l + 2).start()
+                d_dma(slot, l + 2).start()
+            dn = (((0,), (0,)), ((), ()))   # contract over B*Tt rows
+            for j in range(K):
+                dk_ref[l, j, :, :] += jax.lax.dot_general(
+                    xs[j].reshape(B * Tt, R), dp2, dn,
+                    preferred_element_type=f32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # dpre
+            pl.BlockSpec(memory_space=pltpu.ANY),    # xpad
+        ],
+        out_specs=pl.BlockSpec((L, K, R, D2), lambda i: (0, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, PAD + Tt, R), cdtype),
+            pltpu.VMEM((2, B, Tt, D2), cdtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def dk_call(dpre_all, xpad):
+        return pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((L, K, R, D2), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=int(_TRAIN_VMEM_BUDGET_MB * 2 ** 20) +
+                8 * 2 ** 20),
+            interpret=interpret,
+        )(dpre_all, xpad)
+
+    return dk_call
+
 
 def _plan(L, K, R, D, S, dils, B, T, FR, itemsize, Ft_cap=64):
     """Choose the time-tile size and lay out the history arena.
@@ -135,11 +537,17 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
     Tt, n_tiles, Ft = plan["Tt"], plan["n_tiles"], plan["Ft"]
     hist_offs, HIST = plan["hist_offs"], plan["HIST"]
     F = T // FR
+    # layer-input save buffer is LEFT-PADDED by the largest receptive
+    # halo so the dW kernel (#23) can always read [t0-Hl, t0+Tt) slabs
+    # without edge clamping; rows [0, PAD) are masked there, never read
+    # unmasked.  16-row aligned: HBM DMA slices must be sublane-aligned.
+    PAD = _round_up((K - 1) * max(dils), 16)
     tanh_first = gate_order == "tanh_first"
 
     def kernel_body(tapw, skipw, resw, res_b, lc_ref, x0_ref,
                     skip_out, act_out, xst_out,
-                    hist, xa, xb, pre, skipacc, actsl, actsem, xsem):
+                    hist, xa, xb, pre, skipacc, actsl, actsem, xsem,
+                    x0sem):
         i = pl.program_id(0)
         t0 = i * Tt
 
@@ -160,10 +568,15 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                 actsem.at[slot])
 
         def x_dma(buf_idx, j):
+            # buf holds layer j's OUTPUT = the input of layer j+1
             return pltpu.make_async_copy(
                 bufs[buf_idx],
-                xst_out.at[j, :, pl.ds(t0, Tt), :],
+                xst_out.at[j + 1, :, pl.ds(PAD + t0, Tt), :],
                 xsem.at[buf_idx])
+
+        x0_dma = pltpu.make_async_copy(
+            x0_ref, xst_out.at[0, :, pl.ds(PAD + t0, Tt), :], x0sem)
+        x0_dma.start()
 
         xcur_ref = x0_ref
         for l in range(L):
@@ -257,6 +670,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         for slot, l in last_act.values():
             act_dma(slot, l).wait()
         x_dma((L - 2) % 2, L - 2).wait()
+        x0_dma.wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -285,6 +699,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             pltpu.VMEM((2, B, Tt, D2), cdtype),     # act DMA slots
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,                # x0 save
         ],
     )
 
@@ -296,13 +711,16 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         res_b32 = res_b.astype(jnp.float32)
         lc32 = lc_encb.astype(jnp.float32)
         x016 = x0.astype(cdtype)
-        skip_sum, act, xstack = pl.pallas_call(
+        # xpad[l] = the INPUT of layer l (xpad[0] = x0), left-padded by
+        # PAD rows so the dW kernel reads [t0-Hl, t0+Tt) slabs unclamped;
+        # the pad region is uninitialized and masked at the reader
+        skip_sum, act, xpad = pl.pallas_call(
             kernel_body,
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((B, T, S), cdtype),
                 jax.ShapeDtypeStruct((L, B, T, D2), cdtype),
-                jax.ShapeDtypeStruct((max(L - 1, 1), B, T, R), cdtype),
+                jax.ShapeDtypeStruct((L, B, PAD + T, R), cdtype),
             ),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
@@ -310,7 +728,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                 8 * 2 ** 20),
             interpret=interpret,
         )(tapw16, skipw16, resw16, res_b32, lc32, x016)
-        return skip_sum, act, xstack
+        return skip_sum, act, xpad
 
     @jax.custom_vjp
     def fused(kernel, skipw, resw, res_b, lc_encb, x0):
@@ -318,9 +736,9 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         return skip_sum
 
     def fused_fwd(kernel, skipw, resw, res_b, lc_encb, x0):
-        skip_sum, act, xstack = _fwd_call(kernel, skipw, resw, res_b,
-                                          lc_encb, x0)
-        return skip_sum, (act, xstack, kernel.astype(cdtype),
+        skip_sum, act, xpad = _fwd_call(kernel, skipw, resw, res_b,
+                                        lc_encb, x0)
+        return skip_sum, (act, xpad, kernel.astype(cdtype),
                           skipw.astype(cdtype), resw.astype(cdtype),
                           x0.astype(cdtype))
 
@@ -335,8 +753,49 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         The gate derivative consumes the SAVED activations, so the
         backward has no transcendentals and no convolution ops.
         """
-        (act, xstack, k16, skipw16, resw16, x016) = res
+        (act, xpad, k16, skipw16, resw16, x016) = res
         dskip16 = dskip.astype(cdtype)
+
+        bwd_call = None
+        if _BWD_FORM == "auto":
+            bwd_call = _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR,
+                                        gate_order, cdtype_name, interpret)
+        if bwd_call is not None:
+            # fused Pallas backward: the whole serial chain (dgated, gate
+            # derivative, dX tap propagation, dsk/drs/drb/dlc) runs per
+            # reverse time tile in VMEM; dpre streams to HBM for the dW
+            # pass (PERF.md #22)
+            k16T = k16.transpose(0, 1, 3, 2)       # [L,K,D2,R]
+            reswT = resw16.transpose(0, 2, 1)      # [L,R,D]
+            skipwT = skipw16.transpose(0, 2, 1)    # [L,S,D]
+            dpre_all, dx0, dlc, dsk, drs, drb = bwd_call(
+                k16T, reswT, skipwT, dskip16, act)
+            # dW taps: fused Pallas accumulator over dpre + the padded
+            # layer inputs when the [L,K,R,2D] f32 accumulator fits VMEM
+            # (PERF.md #23), else per-tap slice einsums
+            dk_call = _make_dk_kernel(L, K, R, D, S, dils, B, T,
+                                      cdtype_name, interpret)
+            if dk_call is not None:
+                dk = dk_call(dpre_all, xpad)
+            else:
+                dks = []
+                for l in range(L):
+                    d = dils[l]
+                    xin = x016 if l == 0 else \
+                        xpad[l, :, PAD:, :]
+                    taps = []
+                    for j in range(K):
+                        o = (K - 1 - j) * d
+                        xs = xin[:, :T - o, :] if o else xin
+                        dp = dpre_all[l, :, o:, :] if o else dpre_all[l]
+                        taps.append(jnp.einsum(
+                            "btr,btf->rf", xs, dp,
+                            preferred_element_type=jnp.float32))
+                    dks.append(jnp.stack(taps))
+                dk = jnp.stack(dks)
+            return (dk.astype(cdtype), dsk.astype(cdtype),
+                    drs.astype(cdtype), drb.astype(cdtype), dlc,
+                    dx0.astype(cdtype))
         # per-layer grads collect in python lists and stack ONCE — a
         # .at[l].set on the stacked buffer would copy the whole (up to
         # 47 MB) gradient tensor every layer
@@ -344,7 +803,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         dX = jnp.zeros((B, T, R), cdtype)
         for l in reversed(range(L)):
             d = dils[l]
-            xin = x016 if l == 0 else xstack[l - 1]
+            xin = x016 if l == 0 else xpad[l, :, PAD:, :]
             f16 = act[l, :, :, :D]
             g16 = act[l, :, :, D:]
             gated = f16 * g16
@@ -372,21 +831,43 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             drss.append(jnp.einsum("btd,btr->dr", gated, dX,
                                    preferred_element_type=jnp.float32))
             drbs.append(dX.astype(jnp.float32).sum(axis=(0, 1)))
-            # conv grads via linear_transpose of the SAME conv op the XLA
-            # forward uses (ops/conv.py::causal_conv1d): one grad-input
-            # conv + one grad-weight conv per layer — per-tap slice
-            # einsums made ~6 passes over the [B,T,*] streams and cost
-            # 2-3x this (PERF.md #21)
-            pad = [((K - 1) * d, 0)]
-            dX_conv, = jax.linear_transpose(
-                lambda t: conv1d(t, k16[l], None, padding=pad, dilation=d),
-                jax.ShapeDtypeStruct((B, T, R), cdtype))(dpre16)
-            dk_l, = jax.linear_transpose(
-                lambda w: conv1d(xin, w, None, padding=pad, dilation=d),
-                jax.ShapeDtypeStruct((K, R, D2), cdtype))(dpre16)
-            dks.append(dk_l.astype(jnp.float32))
-            dX = (dX.astype(jnp.float32)
-                  + dX_conv.astype(jnp.float32)).astype(cdtype)
+            # conv grads: per-tap shifted-slice einsums (dX[t] +=
+            # dpre[t+o_j] @ W_j^T; dW_j = x[:T-o_j]^T dpre[o_j:]) measure
+            # faster than linear_transpose of conv1d at these shapes
+            # (10.9/12.0 vs 13.1/14.8 ms over 30 layers, perf_lab_bwd with
+            # the fixed amortized-fetch timing — the opposite conclusion in
+            # round 3's first attempt came from the broken block_until_ready
+            # timing).  'conv' form kept for A/B.
+            if _BWD_FORM in ("auto", "slice"):
+                dXf = dX.astype(jnp.float32)
+                taps = []
+                for j in range(K):
+                    o = (K - 1 - j) * d
+                    seg = dpre16[:, o:, :] if o else dpre16
+                    c = jnp.einsum("btf,rf->btr", seg, k16[l, j],
+                                   preferred_element_type=jnp.float32)
+                    if o:
+                        dXf = dXf.at[:, :T - o, :].add(c)
+                    else:
+                        dXf = dXf + c
+                    xs = xin[:, :T - o, :] if o else xin
+                    dp = dpre16[:, o:, :] if o else dpre16
+                    taps.append(jnp.einsum("btr,btf->rf", xs, dp,
+                                           preferred_element_type=jnp.float32))
+                dks.append(jnp.stack(taps))
+                dX = dXf.astype(cdtype)
+            else:
+                pad = [((K - 1) * d, 0)]
+                dX_conv, = jax.linear_transpose(
+                    lambda t: conv1d(t, k16[l], None, padding=pad,
+                                     dilation=d),
+                    jax.ShapeDtypeStruct((B, T, R), cdtype))(dpre16)
+                dk_l, = jax.linear_transpose(
+                    lambda w: conv1d(xin, w, None, padding=pad, dilation=d),
+                    jax.ShapeDtypeStruct((K, R, D2), cdtype))(dpre16)
+                dks.append(dk_l.astype(jnp.float32))
+                dX = (dX.astype(jnp.float32)
+                      + dX_conv.astype(jnp.float32)).astype(cdtype)
         dk = jnp.stack(dks[::-1])
         dsk = jnp.stack(dsks[::-1])
         drs = jnp.stack(drss[::-1])
