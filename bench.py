@@ -26,6 +26,21 @@ def main():
     from vqvae_wavenet_tpu.generation.fast import (
         generate, gen_step, init_gen_state)
 
+    # jax.block_until_ready does not reliably wait for device execution
+    # on the remote-TPU backend (see .claude/skills/verify/SKILL.md);
+    # fetching one element to the host does — the device queue is
+    # in-order, so fetching the LAST output syncs everything queued.
+    def fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+
+    def measure_rtt():
+        noop = jax.jit(lambda: jnp.zeros(()))
+        fetch(noop())
+        t0 = time.perf_counter()
+        fetch(noop())
+        return time.perf_counter() - t0
+
     cfg = WavenetConfig()          # shipped 30-layer config
     batch = 1
     length = 4096                  # bench clip (multiple of T_cond)
@@ -41,14 +56,14 @@ def main():
     # falling back to the XLA scan
     wav = generate(params, cfg, lc, length=length, key=key,
                    compute_dtype=jnp.bfloat16, engine="auto")  # compile
-    wav.block_until_ready()
+    fetch(wav)
     lat_time = float("inf")    # best-of-3 single-call latency: includes
     for trial in range(3):     # one full host->TPU dispatch round trip
         t0 = time.perf_counter()
         wav = generate(params, cfg, lc, length=length,
                        key=jax.random.PRNGKey(2 + trial),
                        compute_dtype=jnp.bfloat16, engine="auto")
-        wav.block_until_ready()
+        fetch(wav)
         lat_time = min(lat_time, time.perf_counter() - t0)
 
     # sustained throughput: clips dispatched back-to-back (the steady
@@ -57,15 +72,15 @@ def main():
     # measured in PERF.md #19 — amortizes instead of being counted once
     # per clip.  This is the headline number; single-call latency is
     # reported alongside.
+    rtt = measure_rtt()
     n_pipe = 4
     t0 = time.perf_counter()
     wavs = [generate(params, cfg, lc, length=length,
                      key=jax.random.PRNGKey(10 + i),
                      compute_dtype=jnp.bfloat16, engine="auto")
             for i in range(n_pipe)]
-    for w in wavs:
-        w.block_until_ready()
-    fast_time = (time.perf_counter() - t0) / n_pipe
+    fetch(wavs[-1])
+    fast_time = max(time.perf_counter() - t0 - rtt, 1e-9) / n_pipe
     fast_sps = length / fast_time
 
     # ---- aggregate throughput at large batch: B=32 routes through the
@@ -76,13 +91,13 @@ def main():
     agg_time = float("inf")
     w = generate(params, cfg, lc32, length=length, key=key,
                  compute_dtype=jnp.bfloat16, engine="auto")  # compile
-    w.block_until_ready()
+    fetch(w)
     for trial in range(2):
         t0 = time.perf_counter()
         w = generate(params, cfg, lc32, length=length,
                      key=jax.random.PRNGKey(20 + trial),
                      compute_dtype=jnp.bfloat16, engine="auto")
-        w.block_until_ready()
+        fetch(w)
         agg_time = min(agg_time, time.perf_counter() - t0)
     agg_sps = b32 * length / agg_time
 
@@ -92,7 +107,7 @@ def main():
     x_t = jnp.zeros((batch, 1))
     lc0 = lc[:, 0]
     logits, state = step_jit(state, x_t, lc0)  # compile
-    logits.block_until_ready()
+    fetch(logits)
     n_base = 256
     state = init_gen_state(cfg, batch)
     x_t = jnp.zeros((batch, 1))
@@ -118,12 +133,14 @@ def main():
     ty = jax.nn.one_hot(jnp.arange(bt) % 109, 109)[:, None, :]
     tbatch = {"x": tx, "y": ty}
     ts, m = step(ts, tbatch, None)
-    jax.block_until_ready(m["loss"])
+    fetch(m["loss"])
+    rtt = measure_rtt()
+    n_tr = 20
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(n_tr):
         ts, m = step(ts, tbatch, None)
-    jax.block_until_ready(m["loss"])
-    train_sps = 10 / (time.perf_counter() - t0)
+    fetch(m["loss"])
+    train_sps = n_tr / max(time.perf_counter() - t0 - rtt, 1e-9)
 
     # mixed-precision variant (train_dtype='bf16': decoder stack in bf16)
     import dataclasses
@@ -131,12 +148,13 @@ def main():
     ts16 = init_train_state(jax.random.PRNGKey(3), mcfg16, 109)
     step16 = make_jit_train_step(mcfg16)
     ts16, m = step16(ts16, tbatch, None)
-    jax.block_until_ready(m["loss"])
+    fetch(m["loss"])
+    rtt = measure_rtt()
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(n_tr):
         ts16, m = step16(ts16, tbatch, None)
-    jax.block_until_ready(m["loss"])
-    train16_sps = 10 / (time.perf_counter() - t0)
+    fetch(m["loss"])
+    train16_sps = n_tr / max(time.perf_counter() - t0 - rtt, 1e-9)
 
     print(json.dumps({
         "metric": "gen_samples_per_sec_per_chip",

@@ -170,6 +170,72 @@ def test_fused_gradients_multitile_ring(key):
 
 
 @pytest.mark.slow
+def test_fused_gradients_foldable_gc(key):
+    """Per-layer global conditioning with T_gc == 1 (the Magenta add_gc
+    form incl. its bias-init-1.0 quirk, Magenta/config.py:178-192) folds
+    into the kernel's precomputed condition buffer; gc_kernel/gc_bias
+    grads flow through autodiff of the fold.  sigmoid_first exercises
+    the Magenta gate order end to end."""
+    cfg = tiny_cfg()
+    params = init_wavenet_params(jax.random.PRNGKey(31), cfg,
+                                 lc_channels=128, gc_channels=16)
+    params["layers"]["gc_bias"] = jnp.ones(
+        (cfg.num_layers, 2 * cfg.dilation_filters))
+    x = jax.random.uniform(jax.random.PRNGKey(32), (2, 128, 1),
+                           minval=-0.9, maxval=0.9)
+    lc = jax.random.normal(jax.random.PRNGKey(33), (2, 16, 128)) * 0.3
+    gc = jax.random.normal(jax.random.PRNGKey(34), (2, 1, 16)) * 0.3
+    w = jax.random.normal(jax.random.PRNGKey(35), (256,)) * 0.1
+
+    def loss(p, engine):
+        out = wavenet_logits(p, cfg, x, lc, gc, engine=engine,
+                             gate_order="sigmoid_first")
+        return jnp.mean(jnp.tanh(out) * w)
+
+    lr, gr = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+    lp_, gp = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
+    assert abs(float(lr) - float(lp_)) < 1e-5
+    flat_r = jax.tree_util.tree_flatten_with_path(gr)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(gp)[0]
+    for (kr, vr), (kp, vp) in zip(flat_r, flat_p):
+        assert kr == kp
+        vr, vp = np.asarray(vr, np.float64), np.asarray(vp, np.float64)
+        rel = np.abs(vr - vp).max() / (np.abs(vr).max() + 1e-12)
+        assert rel < 5e-3, (jax.tree_util.keystr(kr), rel)
+
+
+@pytest.mark.slow
+def test_fused_gradients_dsk_outside(key, monkeypatch):
+    """Gradient parity when the chain kernel's dsk accumulator does NOT
+    fit VMEM (the Magenta-50 path): dsk becomes one batched einsum over
+    the saved activations, everything else stays in-kernel."""
+    cfg = tiny_cfg()
+    params, x, lc = make_inputs(cfg, B=2, T=128, t_cond=16, seed=21)
+    train_pallas._make_bwd_kernel.cache_clear()
+    monkeypatch.setattr(train_pallas, "_FORCE_DSK_OUT", True)
+    try:
+        assert not train_pallas._plan_bwd(
+            4, 3, 128, 64, 128, (1, 2, 4, 8), 2, 128, 8, 4)["dsk_in"]
+        w = jax.random.normal(jax.random.PRNGKey(23), (256,)) * 0.1
+
+        def loss(p, engine):
+            out = wavenet_logits(p, cfg, x, lc, engine=engine)
+            return jnp.mean(jnp.tanh(out) * w)
+
+        lr, gr = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+        lp_, gp = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
+        assert abs(float(lr) - float(lp_)) < 1e-5
+        flat_r = jax.tree_util.tree_flatten_with_path(gr)[0]
+        flat_p = jax.tree_util.tree_flatten_with_path(gp)[0]
+        for (kr, vr), (kp, vp) in zip(flat_r, flat_p):
+            vr, vp = np.asarray(vr, np.float64), np.asarray(vp, np.float64)
+            rel = np.abs(vr - vp).max() / (np.abs(vr).max() + 1e-12)
+            assert rel < 5e-3, (jax.tree_util.keystr(kr), rel)
+    finally:
+        train_pallas._make_bwd_kernel.cache_clear()
+
+
+@pytest.mark.slow
 def test_fused_bf16_close_to_f32_reference(key):
     """bf16 through the kernel tracks the f32 XLA reference about as
     closely as the bf16 XLA path does (same tolerance class as the

@@ -163,7 +163,12 @@ class ModelConfig:
                         "learning_rate_schedule",
                         {str(k): v for k, v in MAGENTA_LR_SCHEDULE.items()}
                     ).items()},
-                verbose=p.get("verbose", False))
+                verbose=p.get("verbose", False),
+                # extension keys shared with the main schema: bf16 mixed
+                # precision engages the fused Pallas training kernels
+                # for the 50-layer preset too (PERF.md #24)
+                train_dtype=p.get("train_dtype", "f32"),
+                train_engine=p.get("train_engine", "auto"))
         wn_path = p["wavenet_parameters"]
         if not os.path.isabs(wn_path):
             candidate = os.path.join(os.path.dirname(os.path.abspath(path)), wn_path)

@@ -34,7 +34,7 @@ from vqvae_wavenet_tpu.ops.conv import (
 from vqvae_wavenet_tpu.ops.signal import pool1d
 from vqvae_wavenet_tpu.models import vq as vq_mod
 from vqvae_wavenet_tpu.models.wavenet import (
-    init_wavenet_params, wavenet_forward, wavenet_loss)
+    init_wavenet_params, wavenet_logits, wavenet_loss)
 
 MAGENTA_LR_SCHEDULE = {0: 1e-4, 60000: 8e-5, 80000: 6e-5, 100000: 4e-5,
                        120000: 2e-5, 140000: 1e-5}
@@ -148,11 +148,16 @@ def regularization_loss(params):
     return sum(jax.tree_util.tree_leaves(losses))
 
 
-def magenta_forward(params, x, gc_one_hot):
+def magenta_forward(params, x, gc_one_hot, train_dtype: str = "f32"):
     """Full training forward (config.py:194-409).
 
     Args:
       x: [B, T, 1] raw waveform; gc_one_hot: [B, 1, num_speakers].
+      train_dtype: 'bf16' runs the 50-layer decoder stack in bf16 mixed
+        precision (master params stay f32; labels and losses f32) — the
+        same contract as the main family's ModelConfig.train_dtype —
+        which also makes the fused Pallas training kernels eligible
+        (PERF.md #24).
     Returns: (loss, aux).
     """
     cfg = magenta_wavenet_config()
@@ -167,11 +172,22 @@ def magenta_forward(params, x, gc_one_hot):
     gc_idx = jnp.argmax(gc_one_hot, axis=-1)        # [B, 1]
     gc = jnp.take(params["speaker_emb"], gc_idx, axis=0)  # [B, 1, 64]
 
-    logits, labels = wavenet_forward(params["decoder"], cfg, x,
-                                     local_condition=z_q,
-                                     global_condition=gc,
-                                     gate_order="sigmoid_first")
-    recon = wavenet_loss(logits, labels)
+    Q = cfg.quantization_channels
+    labels = mu_law_encode(x, Q, to_int=True).reshape(-1)  # f32 input
+    dec = params["decoder"]
+    x_dec, z_q_dec, gc_dec = x, z_q, gc
+    if train_dtype == "bf16":
+        dec = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16), dec)
+        x_dec = x.astype(jnp.bfloat16)
+        z_q_dec = z_q.astype(jnp.bfloat16)
+        gc_dec = gc.astype(jnp.bfloat16)
+    logits = wavenet_logits(dec, cfg, x_dec,
+                            local_condition=z_q_dec,
+                            global_condition=gc_dec,
+                            gate_order="sigmoid_first")
+    recon = wavenet_loss(
+        logits.astype(jnp.float32).reshape(-1, Q), labels)
     reg = regularization_loss(params)
     loss = recon + reg + vq_loss + commitment_loss
     return loss, {

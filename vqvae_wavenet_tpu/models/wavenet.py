@@ -213,13 +213,18 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
         return net, skip
 
     use_fused = False
-    if engine != "xla" and pad_mask is None and has_lc and not has_gc:
+    # gc with T_gc == 1 (the only form any model family produces) is
+    # position-constant and folds into the kernel's precomputed
+    # condition buffer — it does not disqualify the fused path
+    gc_foldable = has_gc and global_condition.shape[1] == 1
+    if engine != "xla" and pad_mask is None and has_lc \
+            and (not has_gc or gc_foldable):
         from vqvae_wavenet_tpu.ops.train_pallas import (
             fused_stack_eligible, fused_residual_stack)
         on_tpu = jax.default_backend() == "tpu"
         if (engine == "pallas" or on_tpu) and fused_stack_eligible(
-                cfg, B, T, t_cond, compute_dtype, has_lc, has_gc,
-                pad_mask is not None):
+                cfg, B, T, t_cond, compute_dtype, has_lc,
+                has_gc and not gc_foldable, pad_mask is not None):
             use_fused = True
 
     pattern = _cycle_pattern(cfg)
@@ -227,8 +232,9 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
         # fused Pallas training stack: whole-layer chain per time tile in
         # VMEM, matmul-only custom backward (ops/train_pallas.py)
         skip = skip + fused_residual_stack(
-            lp, cfg, net, local_condition, gate_order=gate_order,
-            interpret=not on_tpu)
+            lp, cfg, net, local_condition,
+            global_condition if has_gc else None,
+            gate_order=gate_order, interpret=not on_tpu)
     elif cfg.num_layers <= 64:
         # fully unrolled: ~30% faster backward than the cycle-scan (the
         # scan's carry stacking/replay dominates, PERF.md #14); compile is

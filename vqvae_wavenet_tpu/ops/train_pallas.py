@@ -58,6 +58,11 @@ _TRAIN_VMEM_BUDGET_MB = 100.0
 # read at trace time.
 _BWD_FORM = "auto"
 
+# Test hook: force the chain kernel's dsk accumulator OUT of VMEM (the
+# path big presets like Magenta-50 take).  Tests must cache_clear
+# _make_bwd_kernel around flipping this — it is not part of the key.
+_FORCE_DSK_OUT = False
+
 
 def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize):
     """Tile size + spill-arena layout for the fused BACKWARD kernel.
@@ -73,39 +78,48 @@ def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize):
     """
     D2 = 2 * D
     resident = (L * K * D2 * R + L * R * D + L * S * D) * itemsize
-    accum = (L * D * S + L * D * R + L * R) * 4
-    for Tt in (256, 128, 64):
-        if T % Tt or Tt % FR:
-            continue
-        Ft = Tt // FR
-        offs, modes, off = [], [], 0
-        ok = True
-        for d in dils:
-            Hl = (K - 1) * d
-            if Hl <= Tt:
-                sz, mode = _round_up(Hl, 16), "small"
-            elif d % Tt == 0:
-                sz, mode = Hl, "ring"   # Hl = (K-1)*d, a Tt multiple
-            else:
-                ok = False
-                break
-            offs.append(off)
-            modes.append(mode)
-            off += sz
-        if not ok:
-            continue
-        arena = B * max(off, 16) * R * itemsize
-        tile = (4 * B * Tt * D2 * itemsize      # act + dpre DMA slots
-                + 2 * B * Tt * S * itemsize     # dskip in pipeline
-                + 2 * B * Tt * R * itemsize     # dx0 out pipeline
-                + 2 * L * Ft * B * D2 * 4       # dlc out pipeline
-                + B * Tt * R * 4                # dX carry (f32)
-                + B * Tt * D2 * 4               # dgated (f32)
-                + 2 * B * Tt * R * 4)           # tap-product values
-        if resident + accum + arena + tile <= _TRAIN_VMEM_BUDGET_MB * 2 ** 20:
-            return {"Tt": Tt, "n_tiles": T // Tt, "Ft": Ft,
-                    "offs": tuple(offs), "modes": tuple(modes),
-                    "AR": max(off, 16)}
+    # the dsk accumulator (L*D*S f32) is the one piece the chain does
+    # not NEED in VMEM — it can be one batched einsum over the saved
+    # activations outside.  In-kernel dsk at ANY tile size beats a
+    # bigger tile without it (43.05 vs 44.83 ms full step, main config
+    # — the external einsum doesn't overlap), so dsk_in is the OUTER
+    # preference; dropping it is the fallback for wide/deep configs
+    # (e.g. the Magenta 50-layer preset).
+    for dsk_in in ((False,) if _FORCE_DSK_OUT else (True, False)):
+        for Tt in (256, 128, 64):
+            if T % Tt or Tt % FR:
+                continue
+            Ft = Tt // FR
+            offs, modes, off = [], [], 0
+            ok = True
+            for d in dils:
+                Hl = (K - 1) * d
+                if Hl <= Tt:
+                    sz, mode = _round_up(Hl, 16), "small"
+                elif d % Tt == 0:
+                    sz, mode = Hl, "ring"   # Hl = (K-1)*d, a Tt multiple
+                else:
+                    ok = False
+                    break
+                offs.append(off)
+                modes.append(mode)
+                off += sz
+            if not ok:
+                continue
+            arena = B * max(off, 16) * R * itemsize
+            tile = (4 * B * Tt * D2 * itemsize      # act + dpre DMA slots
+                    + 2 * B * Tt * S * itemsize     # dskip in pipeline
+                    + 2 * B * Tt * R * itemsize     # dx0 out pipeline
+                    + 2 * L * Ft * B * D2 * 4       # dlc out pipeline
+                    + B * Tt * R * 4                # dX carry (f32)
+                    + B * Tt * D2 * 4               # dgated (f32)
+                    + 2 * B * Tt * R * 4)           # tap-product values
+            need = resident + arena + tile + (L * D * R + L * R) * 4 \
+                + (L * D * S * 4 if dsk_in else 0)
+            if need <= _TRAIN_VMEM_BUDGET_MB * 2 ** 20:
+                return {"Tt": Tt, "n_tiles": T // Tt, "Ft": Ft,
+                        "offs": tuple(offs), "modes": tuple(modes),
+                        "AR": max(off, 16), "dsk_in": dsk_in}
     return None
 
 
@@ -135,13 +149,19 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
         return None
     Tt, n_tiles, Ft = plan["Tt"], plan["n_tiles"], plan["Ft"]
     offs, modes, AR = plan["offs"], plan["modes"], plan["AR"]
+    dsk_in = plan["dsk_in"]
     F = T // FR
     tanh_first = gate_order == "tanh_first"
     f32 = jnp.float32
 
     def body(k16T, reswT, skipwT, dskip_ref, act_hbm,
-             dpre_hbm, dx0_ref, dlc_ref, dsk_ref, drs_ref, drb_ref,
-             arena, actsl, dpresl, asem, psem):
+             dpre_hbm, dx0_ref, dlc_ref, *rest):
+        if dsk_in:
+            dsk_ref, drs_ref, drb_ref, arena, actsl, dpresl, asem, \
+                psem = rest
+        else:
+            drs_ref, drb_ref, arena, actsl, dpresl, asem, psem = rest
+            dsk_ref = None
         i = pl.program_id(0)
         it = n_tiles - 1 - i          # reverse sweep
         t0 = it * Tt
@@ -149,7 +169,8 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
         @pl.when(i == 0)
         def _init():
             arena[...] = jnp.zeros_like(arena)
-            dsk_ref[...] = jnp.zeros_like(dsk_ref)
+            if dsk_in:
+                dsk_ref[...] = jnp.zeros_like(dsk_ref)
             drs_ref[...] = jnp.zeros_like(drs_ref)
             drb_ref[...] = jnp.zeros_like(drb_ref)
 
@@ -208,8 +229,9 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
             # ---- weight-grad accumulators (f32, revisited VMEM blocks)
             g2 = gated.reshape(B * Tt, D)
             dn = (((0,), (0,)), ((), ()))    # contract over B*Tt rows
-            dsk_ref[l, :, :] += jax.lax.dot_general(
-                g2, dskip2, dn, preferred_element_type=f32)
+            if dsk_in:
+                dsk_ref[l, :, :] += jax.lax.dot_general(
+                    g2, dskip2, dn, preferred_element_type=f32)
             drs_ref[l, :, :] += jax.lax.dot_general(
                 g2, dX16.reshape(B * Tt, R), dn,
                 preferred_element_type=f32)
@@ -283,6 +305,30 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
         pre_dma(1 % 2, 1).wait()
         pre_dma(0, 0).wait()
 
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),                # dpre
+        pl.BlockSpec((B, Tt, R),
+                     lambda i: (0, n_tiles - 1 - i, 0)),     # dx0
+        pl.BlockSpec((L, Ft, B, D2),
+                     lambda i: (0, n_tiles - 1 - i, 0, 0)),  # dlc
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((L, B, T, D2), cdtype),
+        jax.ShapeDtypeStruct((B, T, R), cdtype),
+        jax.ShapeDtypeStruct((L, F, B, D2), jnp.float32),
+    ]
+    if dsk_in:
+        out_specs.append(pl.BlockSpec((L, D, S), lambda i: (0, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((L, D, S), jnp.float32))
+    out_specs += [
+        pl.BlockSpec((L, D, R), lambda i: (0, 0, 0)),        # drs
+        pl.BlockSpec((L, R), lambda i: (0, 0)),              # drb
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((L, D, R), jnp.float32),
+        jax.ShapeDtypeStruct((L, R), jnp.float32),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -294,16 +340,7 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
                          lambda i: (0, n_tiles - 1 - i, 0)),     # dskip
             pl.BlockSpec(memory_space=pltpu.ANY),                # act
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),                # dpre
-            pl.BlockSpec((B, Tt, R),
-                         lambda i: (0, n_tiles - 1 - i, 0)),     # dx0
-            pl.BlockSpec((L, Ft, B, D2),
-                         lambda i: (0, n_tiles - 1 - i, 0, 0)),  # dlc
-            pl.BlockSpec((L, D, S), lambda i: (0, 0, 0)),        # dsk
-            pl.BlockSpec((L, D, R), lambda i: (0, 0, 0)),        # drs
-            pl.BlockSpec((L, R), lambda i: (0, 0)),              # drb
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((B, AR, R), cdtype),         # spill arena
             pltpu.VMEM((2, B, Tt, D2), cdtype),     # act slots
@@ -314,23 +351,24 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
     )
 
     def bwd_call(k16T, reswT, skipwT, dskip16, act):
-        return pl.pallas_call(
+        outs = pl.pallas_call(
             body,
             grid_spec=grid_spec,
-            out_shape=(
-                jax.ShapeDtypeStruct((L, B, T, D2), cdtype),
-                jax.ShapeDtypeStruct((B, T, R), cdtype),
-                jax.ShapeDtypeStruct((L, F, B, D2), jnp.float32),
-                jax.ShapeDtypeStruct((L, D, S), jnp.float32),
-                jax.ShapeDtypeStruct((L, D, R), jnp.float32),
-                jax.ShapeDtypeStruct((L, R), jnp.float32),
-            ),
+            out_shape=tuple(out_shape),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=int(_TRAIN_VMEM_BUDGET_MB * 2 ** 20) +
                 8 * 2 ** 20),
             interpret=interpret,
         )(k16T, reswT, skipwT, dskip16, act)
+        if dsk_in:
+            dpre, dx0, dlc, dsk, drs, drb = outs
+        else:
+            dpre, dx0, dlc, drs, drb = outs
+            # dsk left to the caller: one batched einsum over the saved
+            # activations (gated = tanh*sigmoid re-formed from act)
+            dsk = None
+        return dpre, dx0, dlc, dsk, drs, drb
 
     return bwd_call
 
@@ -507,8 +545,15 @@ def fused_stack_eligible(cfg, B, T, t_cond, compute_dtype, has_lc, has_gc,
     if FR < 8:
         return False
     itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
-    return _plan(cfg.num_layers, K, R, D, S, tuple(cfg.dilation_rates),
-                 B, T, FR, itemsize) is not None
+    dils = tuple(cfg.dilation_rates)
+    # BOTH plans must fit: fused forward + XLA custom backward measures
+    # SLOWER than the pure XLA path (59.7 vs 55.5 ms, PERF.md #22), so
+    # a config whose backward spill arena outgrows VMEM (e.g. large B)
+    # must take the XLA engine entirely
+    return (_plan(cfg.num_layers, K, R, D, S, dils, B, T, FR, itemsize)
+            is not None
+            and _plan_bwd(cfg.num_layers, K, R, D, S, dils, B, T, FR,
+                          itemsize) is not None)
 
 
 @functools.lru_cache(maxsize=16)
@@ -770,6 +815,12 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             skipwT = skipw16.transpose(0, 2, 1)    # [L,S,D]
             dpre_all, dx0, dlc, dsk, drs, drb = bwd_call(
                 k16T, reswT, skipwT, dskip16, act)
+            if dsk is None:
+                # dsk accumulator didn't fit the chain kernel's VMEM
+                # plan: one batched contraction over saved activations
+                gated_all = act[:, :, :, :D] * act[:, :, :, D:]
+                dsk = jnp.einsum("lbtd,bts->lds", gated_all, dskip16,
+                                 preferred_element_type=jnp.float32)
             # dW taps: fused Pallas accumulator over dpre + the padded
             # layer inputs when the [L,K,R,2D] f32 accumulator fits VMEM
             # (PERF.md #23), else per-tap slice einsums
@@ -883,7 +934,8 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
     return fused
 
 
-def fused_residual_stack(lp, cfg, x0, local_condition, *,
+def fused_residual_stack(lp, cfg, x0, local_condition,
+                         global_condition=None, *,
                          gate_order: str = "tanh_first",
                          interpret: bool = False):
     """Run the residual stack through the fused kernel.
@@ -908,6 +960,19 @@ def fused_residual_stack(lp, cfg, x0, local_condition, *,
     lc_encb = jnp.einsum("bsc,lcf->lsbf", local_condition, lp["lc_kernel"],
                          preferred_element_type=jnp.float32) \
         + lp["bias"].astype(jnp.float32)[:, None, None, :]
+    if global_condition is not None:
+        # per-layer gc with T_gc == 1 is position-constant, so it folds
+        # into the same precomputed buffer (Magenta add_gc + bias,
+        # Magenta/config.py:178-192); the fold happens OUTSIDE the
+        # custom VJP, so gc_kernel/gc_bias grads come from autodiff of
+        # this einsum against the kernel's dlc cotangent
+        genc = jnp.einsum("bc,lcf->lbf", global_condition[:, 0, :],
+                          lp["gc_kernel"],
+                          preferred_element_type=jnp.float32)
+        lc_encb = lc_encb + genc[:, None, :, :]
+        if "gc_bias" in lp:
+            lc_encb = lc_encb + lp["gc_bias"].astype(
+                jnp.float32)[:, None, None, :]
     fused = _make_fused_stack(
         cfg.num_layers, cfg.kernel_size, cfg.residual_filters,
         cfg.dilation_filters, cfg.skip_filters, tuple(cfg.dilation_rates),

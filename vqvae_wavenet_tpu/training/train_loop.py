@@ -66,7 +66,8 @@ def train_step(ts, batch, rng=None, *, cfg: ModelConfig,
         from vqvae_wavenet_tpu.models.magenta import magenta_forward
 
         def loss_fn(params):
-            return magenta_forward(params, batch["x"], batch.get("y"))
+            return magenta_forward(params, batch["x"], batch.get("y"),
+                                   train_dtype=cfg.train_dtype)
     else:
         def loss_fn(params):
             loss, aux = vqvae_forward(params, ts["model_state"], cfg,
