@@ -186,7 +186,7 @@ def main():
             return jnp.stack(outs)
         results["dW_slice_L30"] = timeit(dkslice, dpre_all, xst)
 
-    # ---- fused Pallas backward chain kernel alone (PERF.md #22)
+    # ---- fused Pallas backward chain kernel alone (PERF.md #22/#25)
     if sel("pbwd"):
         from vqvae_wavenet_tpu.ops import train_pallas
         bwd_call = train_pallas._make_bwd_kernel(
@@ -194,12 +194,12 @@ def main():
         assert bwd_call is not None
         k16 = jax.random.normal(jax.random.PRNGKey(7), (L, K, R, D2),
                                 cdtype) * 0.05
-        jcall = jax.jit(lambda a, ds, kt, rt, st:
-                        bwd_call(kt, rt, st, ds, a))
-        kT = k16.transpose(0, 1, 3, 2)
-        rT = resw.transpose(0, 2, 1)
-        sT = skipw.transpose(0, 2, 1)
-        results["pallas_bwd_chain"] = timeit(jcall, act, dskip, kT, rT, sT)
+        kcat = k16.transpose(0, 3, 1, 2).reshape(L, D2, K * R)
+        rs_cat = jnp.concatenate(
+            [resw.transpose(0, 2, 1), skipw.transpose(0, 2, 1)], axis=1)
+        jcall = jax.jit(lambda a, ds, kc, rc: bwd_call(kc, rc, ds, a))
+        results["pallas_bwd_chain"] = timeit(jcall, act, dskip, kcat,
+                                             rs_cat)
 
     # ---- skip/res weight grads + bias reductions, all layers
     if sel("wgrads"):

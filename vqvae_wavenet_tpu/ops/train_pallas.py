@@ -109,11 +109,12 @@ def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize):
             arena = B * max(off, 16) * R * itemsize
             tile = (4 * B * Tt * D2 * itemsize      # act + dpre DMA slots
                     + 2 * B * Tt * S * itemsize     # dskip in pipeline
+                    + B * Tt * (R + S) * itemsize   # [dX | dskip] cat
                     + 2 * B * Tt * R * itemsize     # dx0 out pipeline
                     + 2 * L * Ft * B * D2 * 4       # dlc out pipeline
                     + B * Tt * R * 4                # dX carry (f32)
                     + B * Tt * D2 * 4               # dgated (f32)
-                    + 2 * B * Tt * R * 4)           # tap-product values
+                    + B * Tt * K * R * 4)           # fused tap products
             need = resident + arena + tile + (L * D * R + L * R) * 4 \
                 + (L * D * S * 4 if dsk_in else 0)
             if need <= _TRAIN_VMEM_BUDGET_MB * 2 ** 20:
@@ -154,13 +155,14 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
     tanh_first = gate_order == "tanh_first"
     f32 = jnp.float32
 
-    def body(k16T, reswT, skipwT, dskip_ref, act_hbm,
+    def body(kcat, rs_cat, dskip_ref, act_hbm,
              dpre_hbm, dx0_ref, dlc_ref, *rest):
         if dsk_in:
-            dsk_ref, drs_ref, drb_ref, arena, actsl, dpresl, asem, \
-                psem = rest
+            dsk_ref, drs_ref, drb_ref, arena, actsl, dpresl, xcat, \
+                asem, psem = rest
         else:
-            drs_ref, drb_ref, arena, actsl, dpresl, asem, psem = rest
+            drs_ref, drb_ref, arena, actsl, dpresl, xcat, asem, \
+                psem = rest
             dsk_ref = None
         i = pl.program_id(0)
         it = n_tiles - 1 - i          # reverse sweep
@@ -189,6 +191,11 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
 
         dskip16 = dskip_ref[...]
         dskip2 = dskip16.reshape(B * Tt, S)
+        # the dgated pair (dX @ resw^T + dskip @ skipw^T) runs as ONE
+        # [B*Tt, R+S] x [R+S, D] dot (the lane-concat trick, PERF #12/
+        # #25): the dskip half of the operand is tile-constant and
+        # written once; only the dX half updates per layer
+        xcat[:, :, R:] = dskip16
         dX = jnp.zeros((B, Tt, R), f32)
         one = jnp.asarray(1.0, cdtype)
 
@@ -207,10 +214,9 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
                 act_dma(slot, l - 2).start()
 
             dX16 = dX.astype(cdtype)
-            dg = (jnp.dot(dX16.reshape(B * Tt, R), reswT[l],
-                          preferred_element_type=f32)
-                  + jnp.dot(dskip2, skipwT[l],
-                            preferred_element_type=f32))
+            xcat[:, :, :R] = dX16
+            dg = jnp.dot(xcat[...].reshape(B * Tt, R + S), rs_cat[l],
+                         preferred_element_type=f32)
             dg16 = dg.astype(cdtype).reshape(B, Tt, D)
             if tanh_first:
                 da = dg16 * g16 * (one - f16 * f16)
@@ -245,9 +251,13 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
                 dlc_ref[l, fidx, :, D:] = db[:, sl, :].astype(f32).sum(1)
 
             # ---- dX taps: dX[t] += dpre[t + o_j] @ W_j^T; rows landing
-            # before this tile spill into the arena for later grid steps
-            da2 = da.reshape(B * Tt, D)
-            db2 = db.reshape(B * Tt, D)
+            # before this tile spill into the arena for later grid steps.
+            # ALL K taps run as one [B*Tt, D2] x [D2, K*R] dot against
+            # the lane-concatenated tap kernels; dpre reads back from
+            # the DMA slot just written (both are reads — no conflict
+            # with the in-flight copy)
+            dp2 = dpresl[slot].reshape(B * Tt, D2)
+            c_all = jnp.dot(dp2, kcat[l], preferred_element_type=f32)
             if modes[l] == "ring":
                 nc = Hl // Tt
                 ci = jnp.remainder(it, nc)
@@ -263,11 +273,7 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
             first_spill = True
             for j in range(K):
                 o = (K - 1 - j) * d
-                c = (jnp.dot(da2, k16T[l, j, :D, :],
-                             preferred_element_type=f32)
-                     + jnp.dot(db2, k16T[l, j, D:, :],
-                               preferred_element_type=f32)
-                     ).reshape(B, Tt, R)
+                c = c_all[:, j * R:(j + 1) * R].reshape(B, Tt, R)
                 if o == 0:
                     dX = dX + c
                 elif modes[l] == "ring":
@@ -333,9 +339,8 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # k16T
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # reswT
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # skipwT
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # kcat
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # rs_cat
             pl.BlockSpec((B, Tt, S),
                          lambda i: (0, n_tiles - 1 - i, 0)),     # dskip
             pl.BlockSpec(memory_space=pltpu.ANY),                # act
@@ -345,12 +350,13 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
             pltpu.VMEM((B, AR, R), cdtype),         # spill arena
             pltpu.VMEM((2, B, Tt, D2), cdtype),     # act slots
             pltpu.VMEM((2, B, Tt, D2), cdtype),     # dpre slots
+            pltpu.VMEM((B, Tt, R + S), cdtype),     # [dX | dskip] cat
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    def bwd_call(k16T, reswT, skipwT, dskip16, act):
+    def bwd_call(kcat, rs_cat, dskip16, act):
         outs = pl.pallas_call(
             body,
             grid_spec=grid_spec,
@@ -360,7 +366,7 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
                 vmem_limit_bytes=int(_TRAIN_VMEM_BUDGET_MB * 2 ** 20) +
                 8 * 2 ** 20),
             interpret=interpret,
-        )(k16T, reswT, skipwT, dskip16, act)
+        )(kcat, rs_cat, dskip16, act)
         if dsk_in:
             dpre, dx0, dlc, dsk, drs, drb = outs
         else:
@@ -457,10 +463,14 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
                 x_dma(slot, l + 2).start()
                 d_dma(slot, l + 2).start()
             dn = (((0,), (0,)), ((), ()))   # contract over B*Tt rows
+            # all K taps in ONE row-contraction dot against the
+            # lane-concatenated shifted inputs (PERF #25)
+            xs_cat = jnp.concatenate(
+                [v.reshape(B * Tt, R) for v in xs], axis=1)
+            dk3 = jax.lax.dot_general(xs_cat, dp2, dn,
+                                      preferred_element_type=f32)
             for j in range(K):
-                dk_ref[l, j, :, :] += jax.lax.dot_general(
-                    xs[j].reshape(B * Tt, R), dp2, dn,
-                    preferred_element_type=f32)
+                dk_ref[l, j, :, :] += dk3[j * R:(j + 1) * R, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -589,7 +599,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
     PAD = _round_up((K - 1) * max(dils), 16)
     tanh_first = gate_order == "tanh_first"
 
-    def kernel_body(tapw, skipw, resw, res_b, lc_ref, x0_ref,
+    def kernel_body(tapw, srw_cat, res_b, lc_ref, x0_ref,
                     skip_out, act_out, xst_out,
                     hist, xa, xb, pre, skipacc, actsl, actsem, xsem,
                     x0sem):
@@ -686,17 +696,20 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             last_act[slot] = (slot, l)
             gated = f16 * g16
 
-            # ---- skip accumulation (f32 across all layers)
-            sk = jnp.dot(m2(gated, D), skipw[l],
-                         preferred_element_type=jnp.float32)
+            # ---- skip + residual 1x1s as ONE [B*Tt, D] x [D, S+R] dot
+            # (lane-concat fused dot, PERF #12/#25); each output column
+            # reads exactly one source kernel, so accumulation is
+            # bit-identical to the separate dots
+            skrs = jnp.dot(m2(gated, D), srw_cat[l],
+                           preferred_element_type=jnp.float32)
+            sk = skrs[:, :S]
             if l == 0:
                 skipacc[...] = sk.reshape(B, Tt, S)
             else:
                 skipacc[...] = skipacc[...] + sk.reshape(B, Tt, S)
 
             # ---- residual
-            rs = jnp.dot(m2(gated, D), resw[l],
-                         preferred_element_type=jnp.float32)
+            rs = skrs[:, S:]
             buf_idx = l % 2
             if l >= 2:
                 x_dma(buf_idx, l - 2).wait()
@@ -722,8 +735,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # tapw
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # skipw
-            pl.BlockSpec(memory_space=pltpu.VMEM),                 # resw
+            pl.BlockSpec(memory_space=pltpu.VMEM),                 # srw_cat
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # res_b
             # frame axis third-from-last: Mosaic requires the last two
             # block dims be 8/128-divisible or whole
@@ -751,8 +763,8 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
     @jax.jit
     def _fwd_call(kernel, skipw, resw, res_b, lc_encb, x0):
         tapw16 = kernel.reshape(L, K * R, D2).astype(cdtype)
-        skipw16 = skipw.astype(cdtype)
-        resw16 = resw.astype(cdtype)
+        srw_cat = jnp.concatenate(
+            [skipw.astype(cdtype), resw.astype(cdtype)], axis=2)
         res_b32 = res_b.astype(jnp.float32)
         lc32 = lc_encb.astype(jnp.float32)
         x016 = x0.astype(cdtype)
@@ -772,7 +784,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                 vmem_limit_bytes=int(_TRAIN_VMEM_BUDGET_MB * 2 ** 20) +
                 8 * 2 ** 20),
             interpret=interpret,
-        )(tapw16, skipw16, resw16, res_b32, lc32, x016)
+        )(tapw16, srw_cat, res_b32, lc32, x016)
         return skip_sum, act, xpad
 
     @jax.custom_vjp
@@ -809,12 +821,16 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             # fused Pallas backward: the whole serial chain (dgated, gate
             # derivative, dX tap propagation, dsk/drs/drb/dlc) runs per
             # reverse time tile in VMEM; dpre streams to HBM for the dW
-            # pass (PERF.md #22)
-            k16T = k16.transpose(0, 1, 3, 2)       # [L,K,D2,R]
-            reswT = resw16.transpose(0, 2, 1)      # [L,R,D]
-            skipwT = skipw16.transpose(0, 2, 1)    # [L,S,D]
+            # pass (PERF.md #22).  Weights arrive pre-concatenated for
+            # the fused dots (#25): kcat = all K tap kernels transposed
+            # side by side; rs_cat = [resw^T ; skipw^T] stacked on the
+            # contraction axis.
+            kcat = k16.transpose(0, 3, 1, 2).reshape(L, D2, K * R)
+            rs_cat = jnp.concatenate(
+                [resw16.transpose(0, 2, 1), skipw16.transpose(0, 2, 1)],
+                axis=1)                            # [L, R+S, D]
             dpre_all, dx0, dlc, dsk, drs, drb = bwd_call(
-                k16T, reswT, skipwT, dskip16, act)
+                kcat, rs_cat, dskip16, act)
             if dsk is None:
                 # dsk accumulator didn't fit the chain kernel's VMEM
                 # plan: one batched contraction over saved activations
