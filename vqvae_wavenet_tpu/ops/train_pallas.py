@@ -381,32 +381,39 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
 
 @functools.lru_cache(maxsize=16)
 def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
-    """Fused Pallas dW pass (PERF.md #23): dk[l,j] = sum_t x_l[t-o_j]
+    """Fused Pallas dW pass (PERF.md #23/#26): dk[l,j] = sum_t x_l[t-o_j]
     dpre_l[t] accumulated in a resident [L,K,R,2D] f32 VMEM block.
 
-    Grid over time tiles (forward order, no cross-tile state); per
-    (tile, layer) one DMA brings the [t0-Hl, t0+Tt) slab of the padded
-    layer input (xpad from the forward kernel) and one brings the dpre
-    tile (from the chain kernel, #22), so each tap is one
-    [B*Tt, R] x [B*Tt, 2D] row-contraction dot.  Rows with t < o_j
-    (the causal zero pad, wavenet_ops.py:81-87) read the uninitialized
-    xpad margin and are masked to zero by row index.  Returns a callable
-    (dpre [L,B,T,D2], xpad [L,B,PAD+T,R]) -> dk [L,K,R,2D] f32, or None
-    if the accumulator + slabs exceed the VMEM budget.
+    Grid over time tiles in FORWARD order; per (tile, layer) one DMA
+    brings the layer-input tile (xin from the forward kernel) and one
+    the dpre tile (chain kernel, #22).  A VMEM history arena — the same
+    layout as the forward kernel's — carries each layer's last (K-1)*d
+    input rows across tiles, so the shifted tap operands are built from
+    (hist ‖ tile) slices with NO halo re-reads from HBM and NO edge
+    masking (the arena starts zeroed = the causal left pad,
+    wavenet_ops.py:81-87).  All K taps run as one row-contraction dot
+    against the lane-concatenated operands (#25).  Returns a callable
+    (dpre [L,B,T,D2], xin [L,B,T,R]) -> dk [L,K,R,2D] f32, or None if
+    the accumulator + arena exceed the VMEM budget.
     """
     cdtype = jnp.bfloat16 if cdtype_name == "bf16" else jnp.float32
     itemsize = 2 if cdtype == jnp.bfloat16 else 4
     D2 = 2 * D
-    PAD = _round_up((K - 1) * max(dils), 16)
     f32 = jnp.float32
+    offs, off = [], 0
+    for d in dils:
+        offs.append(off)
+        off += _round_up((K - 1) * d, 16)
+    HIST = max(off, 16)
     plan_tt = None
     for Tt in (256, 128, 64):
         if T % Tt:
             continue
         need = (L * K * R * D2 * 4                     # dk accumulator
-                + 2 * B * (PAD + Tt) * R * itemsize    # x slab slots
+                + B * HIST * R * itemsize              # history arena
+                + 2 * B * Tt * R * itemsize            # x tile slots
                 + 2 * B * Tt * D2 * itemsize           # dpre slots
-                + 4 * B * Tt * max(R, D2) * 4)         # live values
+                + (K + 2) * B * Tt * R * 4)            # live values
         if need <= _TRAIN_VMEM_BUDGET_MB * 2 ** 20:
             plan_tt = Tt
             break
@@ -415,22 +422,19 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
     Tt = plan_tt
     n_tiles = T // Tt
 
-    def body(dpre_hbm, xpad_hbm, dk_ref, xsl, dsl, xsem, dsem):
+    def body(dpre_hbm, xin_hbm, dk_ref, hist, xsl, dsl, xsem, dsem):
         i = pl.program_id(0)
         t0 = i * Tt
 
         @pl.when(i == 0)
         def _zero():
             dk_ref[...] = jnp.zeros_like(dk_ref)
+            hist[...] = jnp.zeros_like(hist)
 
         def x_dma(slot, l):
-            # halo rounded to 16 rows: HBM DMA slices must be
-            # sublane-aligned; tap reads below use exact static offsets
-            Hlr = _round_up((K - 1) * dils[l], 16)
             return pltpu.make_async_copy(
-                xpad_hbm.at[l, :, pl.ds(PAD + t0 - Hlr, Hlr + Tt), :],
-                xsl.at[slot, :, pl.ds(0, Hlr + Tt), :],
-                xsem.at[slot])
+                xin_hbm.at[l, :, pl.ds(t0, Tt), :],
+                xsl.at[slot], xsem.at[slot])
 
         def d_dma(slot, l):
             return pltpu.make_async_copy(
@@ -440,33 +444,50 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
         for l in (0, 1):
             x_dma(l, l).start()
             d_dma(l, l).start()
-        rowidx = jax.lax.broadcasted_iota(jnp.int32, (1, Tt, 1), 1)
 
         for l in range(L):
             d = dils[l]
-            Hlr = _round_up((K - 1) * d, 16)
+            Hl = (K - 1) * d
+            roff = offs[l]
             slot = l % 2
             x_dma(slot, l).wait()
             d_dma(slot, l).wait()
             dp2 = dsl[slot].reshape(B * Tt, D2)
+            xtile = xsl[slot]
             xs = []
             for j in range(K):
                 o = (K - 1 - j) * d
-                v = xsl[slot, :, Hlr - o:Hlr - o + Tt, :]
-                if o:
-                    # absolute t < o_j reads the uninitialized pad
-                    # margin: zero it (the causal left pad)
-                    v = jnp.where(rowidx >= o - t0, v,
-                                  jnp.zeros_like(v))
-                xs.append(v)
+                if o == 0:
+                    xs.append(xtile.reshape(B * Tt, R))
+                    continue
+                m_h = min(o, Tt)   # rows served from the history arena
+                hseg = hist[:, roff + Hl - o: roff + Hl - o + m_h, :]
+                if o < Tt:
+                    v = jnp.concatenate([hseg, xtile[:, :Tt - o, :]],
+                                        axis=1)
+                else:
+                    v = hseg
+                xs.append(v.reshape(B * Tt, R))
+            # ---- history update: keep the last Hl rows of (hist ‖ tile)
+            # (same ordered-chunk scheme as the forward kernel)
+            if Hl <= Tt:
+                hist[:, roff:roff + Hl, :] = xtile[:, Tt - Hl:Tt, :]
+            else:
+                nshift = Hl - Tt
+                c0 = 0
+                while c0 < nshift:
+                    ch = min(Tt, nshift - c0)
+                    hist[:, roff + c0:roff + c0 + ch, :] = \
+                        hist[:, roff + c0 + Tt:roff + c0 + Tt + ch, :]
+                    c0 += ch
+                hist[:, roff + nshift:roff + Hl, :] = xtile[:, :, :]
             if l + 2 <= L - 1:
                 x_dma(slot, l + 2).start()
                 d_dma(slot, l + 2).start()
             dn = (((0,), (0,)), ((), ()))   # contract over B*Tt rows
             # all K taps in ONE row-contraction dot against the
             # lane-concatenated shifted inputs (PERF #25)
-            xs_cat = jnp.concatenate(
-                [v.reshape(B * Tt, R) for v in xs], axis=1)
+            xs_cat = jnp.concatenate(xs, axis=1)
             dk3 = jax.lax.dot_general(xs_cat, dp2, dn,
                                       preferred_element_type=f32)
             for j in range(K):
@@ -477,18 +498,19 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # dpre
-            pl.BlockSpec(memory_space=pltpu.ANY),    # xpad
+            pl.BlockSpec(memory_space=pltpu.ANY),    # xin
         ],
         out_specs=pl.BlockSpec((L, K, R, D2), lambda i: (0, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, B, PAD + Tt, R), cdtype),
-            pltpu.VMEM((2, B, Tt, D2), cdtype),
+            pltpu.VMEM((B, HIST, R), cdtype),        # history arena
+            pltpu.VMEM((2, B, Tt, R), cdtype),       # x tile slots
+            pltpu.VMEM((2, B, Tt, D2), cdtype),      # dpre slots
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    def dk_call(dpre_all, xpad):
+    def dk_call(dpre_all, xin):
         return pl.pallas_call(
             body,
             grid_spec=grid_spec,
@@ -498,7 +520,7 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
                 vmem_limit_bytes=int(_TRAIN_VMEM_BUDGET_MB * 2 ** 20) +
                 8 * 2 ** 20),
             interpret=interpret,
-        )(dpre_all, xpad)
+        )(dpre_all, xin)
 
     return dk_call
 
@@ -592,11 +614,6 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
     Tt, n_tiles, Ft = plan["Tt"], plan["n_tiles"], plan["Ft"]
     hist_offs, HIST = plan["hist_offs"], plan["HIST"]
     F = T // FR
-    # layer-input save buffer is LEFT-PADDED by the largest receptive
-    # halo so the dW kernel (#23) can always read [t0-Hl, t0+Tt) slabs
-    # without edge clamping; rows [0, PAD) are masked there, never read
-    # unmasked.  16-row aligned: HBM DMA slices must be sublane-aligned.
-    PAD = _round_up((K - 1) * max(dils), 16)
     tanh_first = gate_order == "tanh_first"
 
     def kernel_body(tapw, srw_cat, res_b, lc_ref, x0_ref,
@@ -626,11 +643,11 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             # buf holds layer j's OUTPUT = the input of layer j+1
             return pltpu.make_async_copy(
                 bufs[buf_idx],
-                xst_out.at[j + 1, :, pl.ds(PAD + t0, Tt), :],
+                xst_out.at[j + 1, :, pl.ds(t0, Tt), :],
                 xsem.at[buf_idx])
 
         x0_dma = pltpu.make_async_copy(
-            x0_ref, xst_out.at[0, :, pl.ds(PAD + t0, Tt), :], x0sem)
+            x0_ref, xst_out.at[0, :, pl.ds(t0, Tt), :], x0sem)
         x0_dma.start()
 
         xcur_ref = x0_ref
@@ -768,16 +785,15 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         res_b32 = res_b.astype(jnp.float32)
         lc32 = lc_encb.astype(jnp.float32)
         x016 = x0.astype(cdtype)
-        # xpad[l] = the INPUT of layer l (xpad[0] = x0), left-padded by
-        # PAD rows so the dW kernel reads [t0-Hl, t0+Tt) slabs unclamped;
-        # the pad region is uninitialized and masked at the reader
+        # xin[l] = the INPUT of layer l (xin[0] = x0) — the dW pass and
+        # the XLA fallbacks consume it
         skip_sum, act, xpad = pl.pallas_call(
             kernel_body,
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((B, T, S), cdtype),
                 jax.ShapeDtypeStruct((L, B, T, D2), cdtype),
-                jax.ShapeDtypeStruct((L, B, PAD + T, R), cdtype),
+                jax.ShapeDtypeStruct((L, B, T, R), cdtype),
             ),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
@@ -848,8 +864,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                 dks = []
                 for l in range(L):
                     d = dils[l]
-                    xin = x016 if l == 0 else \
-                        xpad[l, :, PAD:, :]
+                    xin = x016 if l == 0 else xpad[l]
                     taps = []
                     for j in range(K):
                         o = (K - 1 - j) * d
@@ -870,7 +885,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         dX = jnp.zeros((B, T, R), cdtype)
         for l in reversed(range(L)):
             d = dils[l]
-            xin = x016 if l == 0 else xpad[l, :, PAD:, :]
+            xin = x016 if l == 0 else xpad[l]
             f16 = act[l, :, :, :D]
             g16 = act[l, :, :, D:]
             gated = f16 * g16
