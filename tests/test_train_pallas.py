@@ -257,6 +257,67 @@ def test_fused_bf16_close_to_f32_reference(key):
     assert np.abs(got - ref).max() <= 2 * np.abs(xla16 - ref).max() + 1e-3
 
 
+HW_GRAD_PARITY_SCRIPT = r"""
+import jax
+if jax.default_backend() not in ("tpu", "axon") and not any(
+        d.platform == "tpu" for d in jax.devices()):
+    print("SKIP")
+    raise SystemExit(0)
+import jax.numpy as jnp, numpy as np
+import sys, os
+sys.path.insert(0, os.getcwd())
+from vqvae_wavenet_tpu.config import WavenetConfig
+from vqvae_wavenet_tpu.models.wavenet import wavenet_logits, \
+    init_wavenet_params
+cfg = WavenetConfig(
+    quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+    dilation_rates=[1, 2, 4, 384], kernel_size=3, dilation_filters=64,
+    skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+    preprocess_filters=128)
+params = init_wavenet_params(jax.random.PRNGKey(11), cfg, lc_channels=128)
+x = jax.random.uniform(jax.random.PRNGKey(12), (2, 1024, 1),
+                       minval=-0.9, maxval=0.9)
+lc = jax.random.normal(jax.random.PRNGKey(13), (2, 128, 128)) * 0.3
+w = jax.random.normal(jax.random.PRNGKey(14), (256,)) * 0.1
+def loss(p, engine):
+    out = wavenet_logits(p, cfg, x, lc, engine=engine)
+    return jnp.mean(jnp.tanh(out) * w)
+lr, gr = jax.jit(jax.value_and_grad(lambda p: loss(p, "xla")))(params)
+lp, gp = jax.jit(jax.value_and_grad(lambda p: loss(p, "pallas")))(params)
+assert abs(float(lr) - float(lp)) < 1e-5, (float(lr), float(lp))
+for (kx, vx), (_, vp) in zip(jax.tree_util.tree_flatten_with_path(gr)[0],
+                             jax.tree_util.tree_flatten_with_path(gp)[0]):
+    vx = np.asarray(vx, np.float64); vp = np.asarray(vp, np.float64)
+    rel = np.abs(vx - vp).max() / (np.abs(vx).max() + 1e-12)
+    assert rel < 5e-3, (jax.tree_util.keystr(kx), rel)
+print("OK")
+"""
+
+
+@pytest.mark.slow
+def test_hw_gradients_match_xla_compiled():
+    """COMPILED (Mosaic) gradient parity on real TPU hardware for the
+    full fused training path — forward, backward chain (ring + small
+    spill arenas), and dW kernels — against jax.grad of the XLA stack.
+    The interpreter tests above validate semantics; this one validates
+    what Mosaic actually compiles (DMA ordering, arena aliasing,
+    alignment).  Skips when no TPU is attached (same subprocess pattern
+    as the generation chi-square test)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run(
+        [sys.executable, "-c", HW_GRAD_PARITY_SCRIPT],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=900)
+    if "SKIP" in out.stdout:
+        pytest.skip("no TPU backend available")
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout, out.stdout
+
+
 def test_engine_dispatch(key, monkeypatch):
     """engine='auto' off-TPU keeps the XLA path (the kernel is TPU-only
     by default); engine='pallas' forces the fused stack; engine='xla'
