@@ -160,6 +160,13 @@ def main():
         "metric": "gen_samples_per_sec_per_chip",
         "value": round(fast_sps, 2),
         "unit": "samples/s",
+        # `value` is SUSTAINED throughput (n_pipe clips dispatched
+        # back-to-back, one measured host round trip subtracted) — the
+        # r3+ methodology; BENCH_r01/r02 `value`s were PER-CALL (one
+        # blocking dispatch per clip, round trip included) and compare
+        # to `single_call_latency_sps` here, not to `value`.
+        "methodology": "sustained_pipelined_rtt_subtracted",
+        "per_step_us_device": round(fast_time / length * 1e6, 2),
         "vs_baseline": round(fast_sps / base_sps, 2),
         "baseline_per_sample_dispatch_sps": round(base_sps, 2),
         "single_call_latency_sps": round(length / lat_time, 2),

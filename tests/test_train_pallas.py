@@ -211,28 +211,28 @@ def test_fused_gradients_dsk_outside(key, monkeypatch):
     the saved activations, everything else stays in-kernel."""
     cfg = tiny_cfg()
     params, x, lc = make_inputs(cfg, B=2, T=128, t_cond=16, seed=21)
-    train_pallas._make_bwd_kernel.cache_clear()
+    # _FORCE_DSK_OUT is read at trace time and passed into the cached
+    # kernel builders explicitly (it participates in their lru_cache
+    # keys), so flipping it needs no cache_clear
     monkeypatch.setattr(train_pallas, "_FORCE_DSK_OUT", True)
-    try:
-        assert not train_pallas._plan_bwd(
-            4, 3, 128, 64, 128, (1, 2, 4, 8), 2, 128, 8, 4)["dsk_in"]
-        w = jax.random.normal(jax.random.PRNGKey(23), (256,)) * 0.1
+    assert not train_pallas._plan_bwd(
+        4, 3, 128, 64, 128, (1, 2, 4, 8), 2, 128, 8, 4,
+        dsk_forced_out=True)["dsk_in"]
+    w = jax.random.normal(jax.random.PRNGKey(23), (256,)) * 0.1
 
-        def loss(p, engine):
-            out = wavenet_logits(p, cfg, x, lc, engine=engine)
-            return jnp.mean(jnp.tanh(out) * w)
+    def loss(p, engine):
+        out = wavenet_logits(p, cfg, x, lc, engine=engine)
+        return jnp.mean(jnp.tanh(out) * w)
 
-        lr, gr = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
-        lp_, gp = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
-        assert abs(float(lr) - float(lp_)) < 1e-5
-        flat_r = jax.tree_util.tree_flatten_with_path(gr)[0]
-        flat_p = jax.tree_util.tree_flatten_with_path(gp)[0]
-        for (kr, vr), (kp, vp) in zip(flat_r, flat_p):
-            vr, vp = np.asarray(vr, np.float64), np.asarray(vp, np.float64)
-            rel = np.abs(vr - vp).max() / (np.abs(vr).max() + 1e-12)
-            assert rel < 5e-3, (jax.tree_util.keystr(kr), rel)
-    finally:
-        train_pallas._make_bwd_kernel.cache_clear()
+    lr, gr = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+    lp_, gp = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
+    assert abs(float(lr) - float(lp_)) < 1e-5
+    flat_r = jax.tree_util.tree_flatten_with_path(gr)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(gp)[0]
+    for (kr, vr), (kp, vp) in zip(flat_r, flat_p):
+        vr, vp = np.asarray(vr, np.float64), np.asarray(vp, np.float64)
+        rel = np.abs(vr - vp).max() / (np.abs(vr).max() + 1e-12)
+        assert rel < 5e-3, (jax.tree_util.keystr(kr), rel)
 
 
 @pytest.mark.slow

@@ -186,7 +186,11 @@ def main(argv=None):
         if args.profile and step == 10:
             jax.profiler.start_trace(args.profile)
         if args.profile and step == 15:
-            jax.block_until_ready(ts["params"])
+            # jax.block_until_ready is a NO-OP on the remote-TPU backend
+            # (returns before device execution; PERF.md #21 correction) —
+            # only a host fetch syncs.  The device queue is in-order, so
+            # fetching one scalar drains every queued step into the trace.
+            np.asarray(ts["step"])
             jax.profiler.stop_trace()
             print(f"\n[profile] trace written to {args.profile}")
         batch = put_batch(dataset.next())

@@ -148,7 +148,8 @@ def regularization_loss(params):
     return sum(jax.tree_util.tree_leaves(losses))
 
 
-def magenta_forward(params, x, gc_one_hot, train_dtype: str = "f32"):
+def magenta_forward(params, x, gc_one_hot, train_dtype: str = "f32",
+                    engine: str = "auto"):
     """Full training forward (config.py:194-409).
 
     Args:
@@ -158,6 +159,10 @@ def magenta_forward(params, x, gc_one_hot, train_dtype: str = "f32"):
         same contract as the main family's ModelConfig.train_dtype —
         which also makes the fused Pallas training kernels eligible
         (PERF.md #24).
+      engine: ModelConfig.train_engine ('auto' | 'xla' | 'pallas'),
+        forwarded to wavenet_logits — '"train_engine": "xla"' in
+        magenta_parameters.json disables the fused kernels here exactly
+        as it does for the main family (vqvae.py).
     Returns: (loss, aux).
     """
     cfg = magenta_wavenet_config()
@@ -185,7 +190,8 @@ def magenta_forward(params, x, gc_one_hot, train_dtype: str = "f32"):
     logits = wavenet_logits(dec, cfg, x_dec,
                             local_condition=z_q_dec,
                             global_condition=gc_dec,
-                            gate_order="sigmoid_first")
+                            gate_order="sigmoid_first",
+                            engine=engine)
     recon = wavenet_loss(
         logits.astype(jnp.float32).reshape(-1, Q), labels)
     reg = regularization_loss(params)
@@ -195,6 +201,9 @@ def magenta_forward(params, x, gc_one_hot, train_dtype: str = "f32"):
         "commitment_loss": commitment_loss, "reg_loss": reg,
         "perplexity": q["perplexity"], "z_e": z_e, "encoding": e_k,
         "q_z_x": q["q_z_x"],
+        # the live codebook-health cue the main family's progress line
+        # shows ([dist ...], train.py) — same closed-form mean ||z_e-e||^2
+        "distances_mean": q["distances_mean"],
     }
 
 

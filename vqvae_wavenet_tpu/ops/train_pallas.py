@@ -59,12 +59,14 @@ _TRAIN_VMEM_BUDGET_MB = 100.0
 _BWD_FORM = "auto"
 
 # Test hook: force the chain kernel's dsk accumulator OUT of VMEM (the
-# path big presets like Magenta-50 take).  Tests must cache_clear
-# _make_bwd_kernel around flipping this — it is not part of the key.
+# path big presets like Magenta-50 take).  Read at call sites and passed
+# into the cached builders explicitly, so it participates in their
+# lru_cache keys (flipping it never returns a stale kernel).
 _FORCE_DSK_OUT = False
 
 
-def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize):
+def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize,
+              dsk_forced_out=False):
     """Tile size + spill-arena layout for the fused BACKWARD kernel.
 
     The backward sweeps time tiles in REVERSE; per layer, dX[t] receives
@@ -85,7 +87,7 @@ def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize):
     # — the external einsum doesn't overlap), so dsk_in is the OUTER
     # preference; dropping it is the fallback for wide/deep configs
     # (e.g. the Magenta 50-layer preset).
-    for dsk_in in ((False,) if _FORCE_DSK_OUT else (True, False)):
+    for dsk_in in ((False,) if dsk_forced_out else (True, False)):
         for Tt in (256, 128, 64):
             if T % Tt or Tt % FR:
                 continue
@@ -126,7 +128,7 @@ def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize):
 
 @functools.lru_cache(maxsize=16)
 def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
-                     cdtype_name, interpret):
+                     cdtype_name, interpret, dsk_forced_out=False):
     """Fused Pallas BACKWARD for the residual stack (PERF.md #22).
 
     One sequential grid over time tiles processed in REVERSE; per tile
@@ -145,7 +147,8 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
     cdtype = jnp.bfloat16 if cdtype_name == "bf16" else jnp.float32
     itemsize = 2 if cdtype == jnp.bfloat16 else 4
     D2 = 2 * D
-    plan = _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize)
+    plan = _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize,
+                     dsk_forced_out)
     if plan is None:
         return None
     Tt, n_tiles, Ft = plan["Tt"], plan["n_tiles"], plan["Ft"]
@@ -585,7 +588,7 @@ def fused_stack_eligible(cfg, B, T, t_cond, compute_dtype, has_lc, has_gc,
     return (_plan(cfg.num_layers, K, R, D, S, dils, B, T, FR, itemsize)
             is not None
             and _plan_bwd(cfg.num_layers, K, R, D, S, dils, B, T, FR,
-                          itemsize) is not None)
+                          itemsize, _FORCE_DSK_OUT) is not None)
 
 
 @functools.lru_cache(maxsize=16)
@@ -832,7 +835,8 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         bwd_call = None
         if _BWD_FORM == "auto":
             bwd_call = _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR,
-                                        gate_order, cdtype_name, interpret)
+                                        gate_order, cdtype_name, interpret,
+                                        _FORCE_DSK_OUT)
         if bwd_call is not None:
             # fused Pallas backward: the whole serial chain (dgated, gate
             # derivative, dX tap propagation, dsk/drs/drb/dlc) runs per

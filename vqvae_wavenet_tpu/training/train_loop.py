@@ -67,7 +67,8 @@ def train_step(ts, batch, rng=None, *, cfg: ModelConfig,
 
         def loss_fn(params):
             return magenta_forward(params, batch["x"], batch.get("y"),
-                                   train_dtype=cfg.train_dtype)
+                                   train_dtype=cfg.train_dtype,
+                                   engine=cfg.train_engine)
     else:
         def loss_fn(params):
             loss, aux = vqvae_forward(params, ts["model_state"], cfg,
