@@ -201,6 +201,15 @@ def main():
         results["pallas_bwd_chain"] = timeit(jcall, act, dskip, kcat,
                                              rs_cat)
 
+    # ---- fused Pallas dW kernel alone (PERF.md #23/#26)
+    if sel("pdk"):
+        from vqvae_wavenet_tpu.ops import train_pallas
+        dk_call = train_pallas._make_dk_kernel(
+            L, K, R, D, S, dils, B, T, "bf16", False)
+        assert dk_call is not None
+        jdk = jax.jit(lambda dp, xi: dk_call(dp, xi))
+        results["pallas_dk"] = timeit(jdk, dpre_all, xst)
+
     # ---- skip/res weight grads + bias reductions, all layers
     if sel("wgrads"):
         @jax.jit

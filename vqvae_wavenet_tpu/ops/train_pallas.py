@@ -49,8 +49,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 # resident weights + history arena + tile buffers must fit under this
-# (v5e VMEM is ~128 MB/core; leave headroom for Mosaic's own buffers)
+# (v5e VMEM is ~128 MB/core; leave headroom for Mosaic's own buffers).
+# Round 4: per-kernel budgets — the backward CHAIN kernel runs measurably
+# faster at Tt=256, which needs ~114 MiB and compiles+runs fine (the
+# physical capacity probe says ~128 MB, PERF.md #10); the FORWARD kernel's
+# Tt=512 plan at the same budget OOMs Mosaic's scoped allocation, so it
+# keeps the conservative 100.
 _TRAIN_VMEM_BUDGET_MB = 100.0
+_BWD_VMEM_BUDGET_MB = 116.0
 
 # Backward engine: 'auto' (fused Pallas backward kernel when the config
 # fits, else slice), 'slice' (shifted-slice einsums), or 'conv'
@@ -66,7 +72,7 @@ _FORCE_DSK_OUT = False
 
 
 def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize,
-              dsk_forced_out=False):
+              dsk_forced_out=False, hoist=False):
     """Tile size + spill-arena layout for the fused BACKWARD kernel.
 
     The backward sweeps time tiles in REVERSE; per layer, dX[t] receives
@@ -111,15 +117,19 @@ def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize,
             arena = B * max(off, 16) * R * itemsize
             tile = (4 * B * Tt * D2 * itemsize      # act + dpre DMA slots
                     + 2 * B * Tt * S * itemsize     # dskip in pipeline
-                    + B * Tt * (R + S) * itemsize   # [dX | dskip] cat
                     + 2 * B * Tt * R * itemsize     # dx0 out pipeline
                     + 2 * L * Ft * B * D2 * 4       # dlc out pipeline
                     + B * Tt * R * 4                # dX carry (f32)
                     + B * Tt * D2 * 4               # dgated (f32)
                     + B * Tt * K * R * 4)           # fused tap products
+            if hoist:
+                # per-tile dskip @ skipw^T for ALL layers, staged once
+                tile += B * Tt * L * D * itemsize
+            else:
+                tile += B * Tt * (R + S) * itemsize  # [dX | dskip] cat
             need = resident + arena + tile + (L * D * R + L * R) * 4 \
                 + (L * D * S * 4 if dsk_in else 0)
-            if need <= _TRAIN_VMEM_BUDGET_MB * 2 ** 20:
+            if need <= _BWD_VMEM_BUDGET_MB * 2 ** 20:
                 return {"Tt": Tt, "n_tiles": T // Tt, "Ft": Ft,
                         "offs": tuple(offs), "modes": tuple(modes),
                         "AR": max(off, 16), "dsk_in": dsk_in}
@@ -128,7 +138,8 @@ def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize,
 
 @functools.lru_cache(maxsize=16)
 def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
-                     cdtype_name, interpret, dsk_forced_out=False):
+                     cdtype_name, interpret, dsk_forced_out=False,
+                     hoist=False):
     """Fused Pallas BACKWARD for the residual stack (PERF.md #22).
 
     One sequential grid over time tiles processed in REVERSE; per tile
@@ -148,7 +159,7 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
     itemsize = 2 if cdtype == jnp.bfloat16 else 4
     D2 = 2 * D
     plan = _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize,
-                     dsk_forced_out)
+                     dsk_forced_out, hoist)
     if plan is None:
         return None
     Tt, n_tiles, Ft = plan["Tt"], plan["n_tiles"], plan["Ft"]
@@ -157,9 +168,19 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
     F = T // FR
     tanh_first = gate_order == "tanh_first"
     f32 = jnp.float32
+    # hoist-dot group width (layers per dot) — keeps the f32 dot result
+    # chunk small while the staged buffer is cdtype
+    GD = next(g for g in (10, 5, 2, 1) if L % g == 0)
 
-    def body(kcat, rs_cat, dskip_ref, act_hbm,
-             dpre_hbm, dx0_ref, dlc_ref, *rest):
+    def body(*refs):
+        # ---- argument unpack (the input list varies with `hoist`)
+        if hoist:
+            (kcat, rs_cat, skw_all, dskip_ref, act_hbm,
+             dpre_hbm, dx0_ref, dlc_ref, *rest) = refs
+        else:
+            (kcat, rs_cat, dskip_ref, act_hbm,
+             dpre_hbm, dx0_ref, dlc_ref, *rest) = refs
+            skw_all = None
         if dsk_in:
             dsk_ref, drs_ref, drb_ref, arena, actsl, dpresl, xcat, \
                 asem, psem = rest
@@ -194,11 +215,27 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
 
         dskip16 = dskip_ref[...]
         dskip2 = dskip16.reshape(B * Tt, S)
-        # the dgated pair (dX @ resw^T + dskip @ skipw^T) runs as ONE
-        # [B*Tt, R+S] x [R+S, D] dot (the lane-concat trick, PERF #12/
-        # #25): the dskip half of the operand is tile-constant and
-        # written once; only the dX half updates per layer
-        xcat[:, :, R:] = dskip16
+        if hoist:
+            # HOIST variant (round 4): the dskip @ skipw^T halves of every
+            # layer's dgated are tile-constant — evaluate them ONCE per
+            # tile as grouped [B*Tt, S] x [S, GD*D] dots ahead of the
+            # serial layer chain, so the chain's per-layer dot shrinks to
+            # [B*Tt, R] x [R, D].  MEASURED SLOWER on the shipped config
+            # (15.66 ms at its VMEM-forced Tt=128 vs 15.18 plain Tt=256,
+            # tools/exp_r4_hoist.py): the staging buffer costs the bigger
+            # tile, and Mosaic doesn't overlap the freed MXU slots with
+            # the VPU gate chain anyway.  Kept for A/B on other shapes;
+            # production path is hoist=False.
+            for g0 in range(0, L, GD):
+                seg = jnp.dot(dskip2, skw_all[:, g0 * D:(g0 + GD) * D],
+                              preferred_element_type=f32)
+                xcat[:, g0 * D:(g0 + GD) * D] = seg.astype(cdtype)
+        else:
+            # the dgated pair (dX @ resw^T + dskip @ skipw^T) runs as ONE
+            # [B*Tt, R+S] x [R+S, D] dot (the lane-concat trick, PERF #12/
+            # #25): the dskip half of the operand is tile-constant and
+            # written once; only the dX half updates per layer
+            xcat[:, :, R:] = dskip16
         dX = jnp.zeros((B, Tt, R), f32)
         one = jnp.asarray(1.0, cdtype)
 
@@ -217,9 +254,14 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
                 act_dma(slot, l - 2).start()
 
             dX16 = dX.astype(cdtype)
-            xcat[:, :, :R] = dX16
-            dg = jnp.dot(xcat[...].reshape(B * Tt, R + S), rs_cat[l],
-                         preferred_element_type=f32)
+            if hoist:
+                dg = jnp.dot(dX16.reshape(B * Tt, R), rs_cat[l],
+                             preferred_element_type=f32) \
+                    + xcat[:, l * D:(l + 1) * D].astype(f32)
+            else:
+                xcat[:, :, :R] = dX16
+                dg = jnp.dot(xcat[...].reshape(B * Tt, R + S), rs_cat[l],
+                             preferred_element_type=f32)
             dg16 = dg.astype(cdtype).reshape(B, Tt, D)
             if tanh_first:
                 da = dg16 * g16 * (one - f16 * f16)
@@ -338,38 +380,50 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
         jax.ShapeDtypeStruct((L, R), jnp.float32),
     ]
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),               # kcat
+        pl.BlockSpec(memory_space=pltpu.VMEM),               # rs_cat
+    ]
+    if hoist:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # skw_all
+    in_specs += [
+        pl.BlockSpec((B, Tt, S),
+                     lambda i: (0, n_tiles - 1 - i, 0)),     # dskip
+        pl.BlockSpec(memory_space=pltpu.ANY),                # act
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # kcat
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # rs_cat
-            pl.BlockSpec((B, Tt, S),
-                         lambda i: (0, n_tiles - 1 - i, 0)),     # dskip
-            pl.BlockSpec(memory_space=pltpu.ANY),                # act
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((B, AR, R), cdtype),         # spill arena
             pltpu.VMEM((2, B, Tt, D2), cdtype),     # act slots
             pltpu.VMEM((2, B, Tt, D2), cdtype),     # dpre slots
-            pltpu.VMEM((B, Tt, R + S), cdtype),     # [dX | dskip] cat
+            # hoist: per-tile staged dskip @ skipw^T for all layers;
+            # else: the [dX | dskip] lane-concat operand
+            (pltpu.VMEM((B * Tt, L * D), cdtype) if hoist
+             else pltpu.VMEM((B, Tt, R + S), cdtype)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    def bwd_call(kcat, rs_cat, dskip16, act):
+    def bwd_call(kcat, rs_cat, dskip16, act, skw_all=None):
+        operands = [kcat, rs_cat]
+        if hoist:
+            operands.append(skw_all)
+        operands += [dskip16, act]
         outs = pl.pallas_call(
             body,
             grid_spec=grid_spec,
             out_shape=tuple(out_shape),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
-                vmem_limit_bytes=int(_TRAIN_VMEM_BUDGET_MB * 2 ** 20) +
+                vmem_limit_bytes=int(_BWD_VMEM_BUDGET_MB * 2 ** 20) +
                 8 * 2 ** 20),
             interpret=interpret,
-        )(kcat, rs_cat, dskip16, act)
+        )(*operands)
         if dsk_in:
             dpre, dx0, dlc, dsk, drs, drb = outs
         else:
@@ -452,6 +506,11 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
             d = dils[l]
             Hl = (K - 1) * d
             roff = offs[l]
+            # ring-chunk history for Hl > Tt layers (no shifting copies;
+            # see the forward kernel) — power-of-two schedules always
+            # satisfy d % Tt == 0 there
+            ring = Hl > Tt and d % Tt == 0
+            nc = Hl // Tt if ring else 0
             slot = l % 2
             x_dma(slot, l).wait()
             d_dma(slot, l).wait()
@@ -464,7 +523,11 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
                     xs.append(xtile.reshape(B * Tt, R))
                     continue
                 m_h = min(o, Tt)   # rows served from the history arena
-                hseg = hist[:, roff + Hl - o: roff + Hl - o + m_h, :]
+                if ring:
+                    ci = jnp.remainder(i - o // Tt, nc)
+                    hseg = hist[:, pl.ds(roff + ci * Tt, Tt), :]
+                else:
+                    hseg = hist[:, roff + Hl - o: roff + Hl - o + m_h, :]
                 if o < Tt:
                     v = jnp.concatenate([hseg, xtile[:, :Tt - o, :]],
                                         axis=1)
@@ -472,8 +535,10 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
                     v = hseg
                 xs.append(v.reshape(B * Tt, R))
             # ---- history update: keep the last Hl rows of (hist ‖ tile)
-            # (same ordered-chunk scheme as the forward kernel)
-            if Hl <= Tt:
+            if ring:
+                ci = jnp.remainder(i, nc)
+                hist[:, pl.ds(roff + ci * Tt, Tt), :] = xtile[:, :, :]
+            elif Hl <= Tt:
                 hist[:, roff:roff + Hl, :] = xtile[:, Tt - Hl:Tt, :]
             else:
                 nshift = Hl - Tt
@@ -658,6 +723,15 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             d = dils[l]
             Hl = (K - 1) * d
             roff = hist_offs[l]
+            # layers whose history exceeds one tile address it as a RING
+            # of Tt-row chunks keyed by tile index — zero shifting copies
+            # (round 4; the bwd spill arena pioneered the scheme).  The
+            # tap offsets o = j*d are Tt-multiples exactly when
+            # d % Tt == 0 (always true for power-of-two schedules, since
+            # Hl > Tt with K<=3 forces d >= Tt); other dilations keep the
+            # ordered-chunk shifting fallback.
+            ring = Hl > Tt and d % Tt == 0
+            nc = Hl // Tt if ring else 0
 
             # ---- dilated conv: K taps, each <=2 contiguous-slice dots
             # (tap j sees x[t - (K-1-j)*d], ops/conv.py::dilated_conv_taps)
@@ -673,7 +747,13 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                 o = (K - 1 - j) * d
                 w = tapw[l, j * R:(j + 1) * R, :]
                 m_h = min(o, Tt)
-                hseg = hist[:, roff + Hl - o: roff + Hl - o + m_h, :]
+                if ring:
+                    # the o >= Tt tap reads exactly the chunk written at
+                    # tile i - o/Tt (zeros before it exists = causal pad)
+                    ci = jnp.remainder(i - o // Tt, nc)
+                    hseg = hist[:, pl.ds(roff + ci * Tt, Tt), :]
+                else:
+                    hseg = hist[:, roff + Hl - o: roff + Hl - o + m_h, :]
                 hout = jnp.dot(m2(hseg, R), w,
                                preferred_element_type=jnp.float32)
                 pre[:, 0:m_h, :] = pre[:, 0:m_h, :] \
@@ -686,7 +766,10 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                         + tout.reshape(B, Tt - o, D2)
 
             # ---- history update: keep the last Hl rows of (hist || tile)
-            if Hl <= Tt:
+            if ring:
+                ci = jnp.remainder(i, nc)
+                hist[:, pl.ds(roff + ci * Tt, Tt), :] = xcur_ref[:, :, :]
+            elif Hl <= Tt:
                 hist[:, roff:roff + Hl, :] = xcur_ref[:, Tt - Hl:Tt, :]
             else:
                 nshift = Hl - Tt
