@@ -142,6 +142,8 @@ def main(argv=None):
         if n_data > 1:
             print(f"[mesh] data={n_data} x time={n_time}")
         sp_step = make_sp_train_step(cfg, mesh_t, batch_axis="data")
+        sp_summary = make_sp_train_step(cfg, mesh_t, batch_axis="data",
+                                        with_summaries=True)
         x_sh = NamedSharding(mesh_t, P("data", "time", None))
         y_sh = NamedSharding(mesh_t, P("data"))
         repl = NamedSharding(mesh_t, P())
@@ -149,7 +151,11 @@ def main(argv=None):
 
         def step_fn(ts, batch, sub):
             return sp_step(ts, batch)
-        summary_fn = step_fn
+
+        def summary_fn(ts, batch, sub):
+            # full histogram summary set under -time_shards too (the
+            # reference writes it in every mode, model.py:28-69)
+            return sp_summary(ts, batch)
 
         def put_batch(b):
             return {"x": jax.device_put(b["x"], x_sh),
@@ -203,7 +209,7 @@ def main(argv=None):
             s = gs + step
             scalars = {k: v for k, v in metrics.items()
                        if k not in ("step", "summaries")}
-            if "summaries" in metrics:   # SP step is scalars-only
+            if "summaries" in metrics:
                 summ = jax.device_get(metrics.pop("summaries"))
                 scalars["global_norm/gradient_norm"] = summ.pop("grad_norm")
                 writer.histograms(

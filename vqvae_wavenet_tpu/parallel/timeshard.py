@@ -134,33 +134,38 @@ def _sync_batch_norm(params, state, x_l, *, train: bool, axis_name,
     """BatchNorm with (B, T) statistics pmean-synced over ``axis_name`` (a
     mesh axis name or tuple — the time axis, plus the data axis when the
     batch is sharded too) — bit-equal to single-device stats for equal
-    shard sizes."""
+    shard sizes.  Statistics accumulate in f32 regardless of the activation
+    dtype (the bf16 mixed-precision contract of encoders.py::batch_norm)."""
+    xf = x_l.astype(jnp.float32)
     if train:
-        mean = lax.pmean(jnp.mean(x_l, axis=(0, 1)), axis_name)
-        mean_sq = lax.pmean(jnp.mean(jnp.square(x_l), axis=(0, 1)),
+        mean = lax.pmean(jnp.mean(xf, axis=(0, 1)), axis_name)
+        mean_sq = lax.pmean(jnp.mean(jnp.square(xf), axis=(0, 1)),
                             axis_name)
         var = mean_sq - jnp.square(mean)
         new_state = {"mean": momentum * state["mean"] + (1 - momentum) * mean,
                      "var": momentum * state["var"] + (1 - momentum) * var}
     else:
         mean, var, new_state = state["mean"], state["var"], state
-    inv = lax.rsqrt(var + eps) * params["scale"]
-    return (x_l - mean) * inv + params["bias"], new_state
+    inv = lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
+    out = (xf - mean) * inv + params["bias"].astype(jnp.float32)
+    return out.astype(x_l.dtype), new_state
 
 
 def _sync_group_norm(params, x_l, *, axis_name: str, num_groups: int = 8,
                      eps: float = 1e-3):
     """GroupNorm whose (T, C/g) statistics span the FULL time axis via
-    pmean — exactly the single-device group_norm."""
+    pmean — exactly the single-device group_norm (f32 statistics)."""
     b, t, c = x_l.shape
     g = num_groups if c % num_groups == 0 else 1
-    xg = x_l.reshape(b, t, g, c // g)
+    xg = x_l.astype(jnp.float32).reshape(b, t, g, c // g)
     mean = lax.pmean(jnp.mean(xg, axis=(1, 3), keepdims=True), axis_name)
     mean_sq = lax.pmean(jnp.mean(jnp.square(xg), axis=(1, 3), keepdims=True),
                         axis_name)
     var = mean_sq - jnp.square(mean)
     xg = (xg - mean) * lax.rsqrt(var + eps)
-    return xg.reshape(b, t, c) * params["scale"] + params["bias"]
+    out = (xg.reshape(b, t, c) * params["scale"].astype(jnp.float32)
+           + params["bias"].astype(jnp.float32))
+    return out.astype(x_l.dtype)
 
 
 def time_sharded_encoder_64(params, state, x_l, *, train: bool,
@@ -262,7 +267,7 @@ def time_sharded_encoder_magenta(params, state, x_l, *, axis_name: str,
 
 def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
                       *, train: bool = True, axis_name: str = "time",
-                      batch_axis=None):
+                      batch_axis=None, with_tensors: bool = False):
     """VQVAE loss with the TIME axis sharded over ``axis_name`` and
     (optionally) the batch sharded over ``batch_axis`` — SP composed with
     DP on one 2-D mesh in a single program (round-3: SP and DP used to be
@@ -281,6 +286,17 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
     globally-psum'd cluster stats under 'vq_stats' for
     vq.ema_codebook_apply (the update itself runs in the train step,
     mirroring train_loop.py:82-87).
+
+    cfg.train_dtype='bf16' runs the same mixed-precision contract as
+    vqvae_forward (round-4: SP used to be f32-only): encoder convs and the
+    decoder stack in bf16 per shard — which engages the fused-skip
+    contraction of models/wavenet.py (PERF.md #15) shard-locally — with
+    norm statistics, labels, losses and the VQ argmin in f32.
+
+    with_tensors=True additionally returns the TIME-SHARDED tensors the
+    TensorBoard histogram set needs (z_e, q_z_x, e_k) as global arrays —
+    the reference writes its full summary set in every mode
+    (model.py:28-69), so the SP train step must not drop it.
     """
     from vqvae_wavenet_tpu.models import vq as vq_mod
     from vqvae_wavenet_tpu.models.vqvae import build_local_condition
@@ -301,16 +317,28 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
     red_axes = (axis_name,) if batch_axis is None else (batch_axis,
                                                         axis_name)
 
+    bf16 = cfg.train_dtype == "bf16"
+
     def local_fn(params, state, x_l, y_l):
+        # mixed precision (round 4): the same contract as vqvae_forward —
+        # encoder convs bf16 (norm statistics stay f32 inside the sync
+        # norms), z_e back to f32 for the VQ argmin
+        enc_params = params["encoder"]
+        x_enc = x_l
+        if bf16:
+            enc_params = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16), enc_params)
+            x_enc = x_l.astype(jnp.bfloat16)
         if cfg.encoder == "Magenta":
             z_e, enc_state = time_sharded_encoder_magenta(
-                params["encoder"], state["encoder"], x_l,
+                enc_params, state["encoder"], x_enc,
                 axis_name=axis_name)
         else:
             z_e, enc_state = time_sharded_encoder_64(
-                params["encoder"], state["encoder"], x_l, train=train,
+                enc_params, state["encoder"], x_enc, train=train,
                 norm=cfg.encoder_norm, axis_name=axis_name,
                 norm_axes=red_axes)
+        z_e = z_e.astype(jnp.float32)
         aux = {"state": {"encoder": enc_state}}
         if cfg.use_vq:
             q = vq_mod.quantize(params["vq"], z_e, mode=cfg.vq_mode)
@@ -329,16 +357,28 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
             z_q = e_k = z_e
         lc_l = build_local_condition(params, cfg, z_q, y_l, train=False)
 
-        # decoder: left halo of RF samples/frames from the neighbor(s)
+        # decoder: left halo of RF samples/frames from the neighbor(s).
+        # Under bf16 the per-shard stack runs the same mixed-precision
+        # restructure as the single-chip path (bf16 residual stream +
+        # fused-skip contraction, PERF.md #15); labels/loss stay f32.
+        dec_params = params["decoder"]
+        if bf16:
+            dec_params = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16), dec_params)
+            x_l_dec = x_l.astype(jnp.bfloat16)
+            lc_l_dec = lc_l.astype(jnp.bfloat16)
+        else:
+            x_l_dec, lc_l_dec = x_l, lc_l
         x_ext = jnp.concatenate(
-            [_left_halo(x_l, halo, axis_name), x_l], axis=1)
+            [_left_halo(x_l_dec, halo, axis_name), x_l_dec], axis=1)
         lc_ext = jnp.concatenate(
-            [_left_halo(lc_l, halo_frames, axis_name), lc_l], axis=1)
-        logits_ext = wavenet_logits(params["decoder"], cfg.wavenet,
+            [_left_halo(lc_l_dec, halo_frames, axis_name), lc_l_dec],
+            axis=1)
+        logits_ext = wavenet_logits(dec_params, cfg.wavenet,
                                     x_ext, lc_ext,
                                     pad_mask=_halo_pad_mask(
                                         halo, x_l.shape[1], axis_name))
-        logits = logits_ext[:, halo:, :]
+        logits = logits_ext[:, halo:, :].astype(jnp.float32)
         labels = mu_law_encode(x_l[..., 0], cfg.wavenet.quantization_channels,
                                to_int=True)
         recon = lax.pmean(
@@ -357,21 +397,173 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
             aux["vq_loss"] = vq_loss
             aux["commitment_loss"] = commit
         aux["loss"] = loss
-        return loss, aux
+        # sharded summary tensors ride out of the shard_map as global
+        # arrays (their out_specs below carry the time/batch sharding)
+        tens = {}
+        if with_tensors:
+            tens["z_e"] = z_e
+            if cfg.use_vq:
+                tens["q_z_x"] = q["q_z_x"]
+                tens["e_k"] = e_k
+        return loss, aux, tens
 
-    # out_specs P(): loss and every aux leaf are replicated across shards
+    tens_specs = {}
+    if with_tensors:
+        tens_specs["z_e"] = P(batch_axis, axis_name, None)
+        if cfg.use_vq:
+            tens_specs["q_z_x"] = P(batch_axis, axis_name)
+            tens_specs["e_k"] = P(batch_axis, axis_name, None)
+
+    # out_specs P() for loss/aux: every leaf is replicated across shards
     # (each is either pmean/psum'd or computed identically on all shards)
     fn = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P(), P(batch_axis, axis_name, None), P(batch_axis)),
-        out_specs=P(),
+        out_specs=(P(), P(), tens_specs),
         check_rep=False,
     )
-    return fn(params, state, x, y)
+    loss, aux, tens = fn(params, state, x, y)
+    aux.update(tens)
+    return loss, aux
+
+
+def time_sharded_magenta_encode(params, x_l, *, axis_name: str):
+    """The Magenta-family encoder (models/magenta.py::magenta_encode,
+    reference Magenta/config.py:200-249) on a time shard.  Every conv is
+    either pointwise (k=1 startconv/res/bottleneck) or causal (the gated
+    dilated pair), so left-halo exchanges reproduce the single-device
+    activations exactly; the window-2 avg pools are blockwise and respect
+    shard boundaries because per-shard lengths stay even (T/n divisible
+    by 64)."""
+    from vqvae_wavenet_tpu.ops.conv import conv1d
+    from vqvae_wavenet_tpu.ops.signal import pool1d
+    from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
+    from vqvae_wavenet_tpu.models.magenta import AE_NUM_STAGES
+
+    x_scaled = mu_law_encode(x_l)
+    en = conv1d(x_scaled, params["startconv"]["kernel"],
+                params["startconv"]["bias"], padding="SAME")  # k=1
+    for i, layer in enumerate(params["layers"]):
+        dilation = 2 ** (i % AE_NUM_STAGES)
+        conv = _sharded_causal_conv(en, layer["conv"]["kernel"],
+                                    layer["conv"]["bias"], dilation,
+                                    axis_name)
+        gate = _sharded_causal_conv(en, layer["gate"]["kernel"],
+                                    layer["gate"]["bias"], dilation,
+                                    axis_name)
+        d = jnp.tanh(conv) * jax.nn.sigmoid(gate)
+        en = en + conv1d(d, layer["res"]["kernel"], layer["res"]["bias"],
+                         padding="SAME")  # k=1
+        en = pool1d(en, 2, mode="avg")
+    return conv1d(en, params["bottleneck"]["kernel"],
+                  params["bottleneck"]["bias"], padding="SAME")  # k=1
+
+
+def time_sharded_magenta_loss(params, cfg: ModelConfig, x, y, mesh,
+                              *, axis_name: str = "time", batch_axis=None,
+                              with_tensors: bool = False):
+    """The Magenta-family training loss (models/magenta.py::magenta_forward,
+    reference Magenta/config.py:194-409) with the TIME axis sharded over
+    ``axis_name`` — round-4 scope widening: SP used to cover only the main
+    model family.  Same structure as time_sharded_loss: causal-encoder
+    halos, pointwise VQ with pmean'd losses, decoder receptive-field halo
+    with the halo pad mask, per-layer gc (T_gc=1 replicates per shard).
+    Honors cfg.train_dtype='bf16' with the magenta_forward contract."""
+    from vqvae_wavenet_tpu.models import vq as vq_mod
+    from vqvae_wavenet_tpu.models.magenta import regularization_loss
+    from vqvae_wavenet_tpu.models.wavenet import wavenet_loss
+    from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
+
+    n = mesh.shape[axis_name]
+    B, T, _ = x.shape
+    ratio = 64
+    assert (T // n) % ratio == 0
+    halo, halo_frames = halo_sizes(cfg.wavenet, ratio)
+    red_axes = (axis_name,) if batch_axis is None else (batch_axis,
+                                                        axis_name)
+    bf16 = cfg.train_dtype == "bf16"
+    Q = cfg.wavenet.quantization_channels
+
+    def local_fn(params, x_l, y_l):
+        enc_params = params["encoder"]
+        x_enc = x_l
+        if bf16:
+            enc_params = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16), enc_params)
+            x_enc = x_l.astype(jnp.bfloat16)
+        z_e = time_sharded_magenta_encode(enc_params, x_enc,
+                                          axis_name=axis_name)
+        z_e = z_e.astype(jnp.float32)
+        q = vq_mod.quantize(params["vq"], z_e, mode="st")
+        e_k, z_q = q["e_k"], q["z_q"]
+
+        vq_loss = lax.pmean(jnp.mean(
+            (jax.lax.stop_gradient(z_e) - e_k) ** 2), red_axes)
+        commit = lax.pmean(0.25 * jnp.mean(
+            (z_e - jax.lax.stop_gradient(e_k)) ** 2), red_axes)
+        k = params["vq"]["embedding"].shape[0]
+        avg = lax.pmean(jnp.mean(
+            jax.nn.one_hot(q["q_z_x"].reshape(-1), k), axis=0), red_axes)
+        perplexity = jnp.exp(-jnp.sum(avg * jnp.log(avg + 1e-10)))
+
+        gc_idx = jnp.argmax(y_l, axis=-1)                 # [B_l, 1]
+        gc = jnp.take(params["speaker_emb"], gc_idx, axis=0)
+
+        dec = params["decoder"]
+        x_dec, zq_dec, gc_dec = x_l, z_q, gc
+        if bf16:
+            dec = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16), dec)
+            x_dec = x_l.astype(jnp.bfloat16)
+            zq_dec = z_q.astype(jnp.bfloat16)
+            gc_dec = gc.astype(jnp.bfloat16)
+        x_ext = jnp.concatenate(
+            [_left_halo(x_dec, halo, axis_name), x_dec], axis=1)
+        lc_ext = jnp.concatenate(
+            [_left_halo(zq_dec, halo_frames, axis_name), zq_dec], axis=1)
+        logits_ext = wavenet_logits(dec, cfg.wavenet, x_ext, lc_ext,
+                                    global_condition=gc_dec,
+                                    gate_order="sigmoid_first",
+                                    pad_mask=_halo_pad_mask(
+                                        halo, x_l.shape[1], axis_name))
+        logits = logits_ext[:, halo:, :].astype(jnp.float32)
+        labels = mu_law_encode(x_l[..., 0], Q, to_int=True)
+        recon = lax.pmean(
+            wavenet_loss(logits.reshape(-1, Q), labels.reshape(-1)),
+            red_axes)
+        # reg depends only on the replicated params: pmean is the identity
+        # forward and makes the shard_map transpose psum exact (each
+        # shard's cotangent carries 1/n)
+        reg = lax.pmean(regularization_loss(params), red_axes)
+        loss = recon + reg + vq_loss + commit
+        aux = {"loss": loss, "reconstruction_loss": recon,
+               "vq_loss": vq_loss, "commitment_loss": commit,
+               "reg_loss": reg, "perplexity": perplexity,
+               "distances_mean": lax.pmean(q["distances_mean"], red_axes)}
+        tens = {}
+        if with_tensors:
+            tens = {"z_e": z_e, "q_z_x": q["q_z_x"], "e_k": e_k}
+        return loss, aux, tens
+
+    tens_specs = {}
+    if with_tensors:
+        tens_specs = {"z_e": P(batch_axis, axis_name, None),
+                      "q_z_x": P(batch_axis, axis_name),
+                      "e_k": P(batch_axis, axis_name, None)}
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(batch_axis, axis_name, None), P(batch_axis)),
+        out_specs=(P(), P(), tens_specs),
+        check_rep=False,
+    )
+    loss, aux, tens = fn(params, x, y)
+    aux.update(tens)
+    return loss, aux
 
 
 def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
-                       ema_decay: float = 0.999, batch_axis=None):
+                       ema_decay: float = 0.999, batch_axis=None,
+                       with_summaries: bool = False):
     """Jitted full train step (fwd+bwd+Adam+EMA) over a time-sharded mesh,
     optionally composed with data parallelism on a 2-D (data x time) mesh.
 
@@ -379,7 +571,13 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
     axis (and batch axis when ``batch_axis`` is given).  Gradients of the
     ppermute halos flow back automatically (collectives are
     differentiable); for a sharded batch the shard_map transpose psums the
-    parameter cotangents over the data axis — standard DP reduction."""
+    parameter cotangents over the data axis — standard DP reduction.
+
+    Routes by cfg.model_family ('vqvae' | 'magenta' — round 4: the Magenta
+    50-layer preset trains under SP too).  with_summaries=True returns the
+    full TensorBoard tensor set under metrics['summaries'] exactly like
+    train_loop.train_step — the reference writes its complete histogram
+    set in every mode (model.py:28-69, 119-124)."""
     import optax
     from vqvae_wavenet_tpu.models import vq as vq_mod
     from vqvae_wavenet_tpu.training.optimizer import (
@@ -389,16 +587,24 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
     opt = _family_optimizer(cfg)
 
     def step(ts, batch):
-        def loss_fn(params):
-            return time_sharded_loss(params, ts["model_state"], cfg,
-                                     batch["x"], batch.get("y"), mesh,
-                                     axis_name=axis_name,
-                                     batch_axis=batch_axis)
+        if cfg.model_family == "magenta":
+            def loss_fn(params):
+                return time_sharded_magenta_loss(
+                    params, cfg, batch["x"], batch.get("y"), mesh,
+                    axis_name=axis_name, batch_axis=batch_axis,
+                    with_tensors=with_summaries)
+        else:
+            def loss_fn(params):
+                return time_sharded_loss(params, ts["model_state"], cfg,
+                                         batch["x"], batch.get("y"), mesh,
+                                         axis_name=axis_name,
+                                         batch_axis=batch_axis,
+                                         with_tensors=with_summaries)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             ts["params"])
         updates, opt_state = opt.update(grads, ts["opt_state"], ts["params"])
         params = optax.apply_updates(ts["params"], updates)
-        model_state = aux["state"]
+        model_state = aux.get("state", ts["model_state"])
         if cfg.use_vq and cfg.vq_mode == "ema":
             # same post-optimizer codebook EMA as train_loop.py:82-87; the
             # cluster stats were psum'd across all shards inside shard_map
@@ -420,9 +626,25 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
                    "reconstruction_loss": aux["reconstruction_loss"],
                    "lr": piecewise_constant_schedule(
                        cfg.learning_rate_schedule)(ts["step"])}
-        for key in ("vq_loss", "commitment_loss", "perplexity"):
+        for key in ("vq_loss", "commitment_loss", "perplexity",
+                    "reg_loss", "distances_mean"):
             if key in aux:
                 metrics[key] = aux[key]
+        if with_summaries:
+            # the same summary tensor set as train_loop.train_step:111-130
+            summ = {"z_e": aux["z_e"], "grads": grads,
+                    "grad_norm": optax.global_norm(grads)}
+            if "q_z_x" in aux:
+                summ["q_z_x"] = aux["q_z_x"]
+            if "e_k" in aux:
+                summ["e_k"] = aux["e_k"]
+            if cfg.use_vq and "vq" in ts["params"]:
+                emb = ts["params"]["vq"]["embedding"]
+                flat = aux["z_e"].reshape(-1, emb.shape[1])[:1024]
+                summ["distances"] = (jnp.sum(flat ** 2, -1, keepdims=True)
+                                     - 2.0 * flat @ emb.T
+                                     + jnp.sum(emb ** 2, -1)[None, :])
+            metrics["summaries"] = summ
         return new_ts, metrics
 
     from jax.sharding import NamedSharding
