@@ -178,6 +178,21 @@ def test_select_mode_shipped_config():
     assert gen_pallas.select_mode(cfg, 128, 1, 64, jnp.int8) == "streamed"
 
 
+def test_hybrid_threshold_adapts_with_batch():
+    """Round 4: the VMEM-ring row threshold shrinks as batch grows so
+    B=128 still runs the hybrid kernel (weights resident) instead of
+    falling back to the weight stream."""
+    cfg = WavenetConfig()
+    assert gen_pallas._hybrid_threshold(cfg, 128, 32, 64, jnp.bfloat16) \
+        == 128   # B<=64 keeps the round-3 split (only d>=128 rings in HBM)
+    assert gen_pallas._hybrid_threshold(cfg, 128, 64, 64, jnp.bfloat16) \
+        == 128
+    thr = gen_pallas._hybrid_threshold(cfg, 128, 128, 64, jnp.bfloat16)
+    assert thr is not None and thr < 128
+    assert gen_pallas.select_mode(cfg, 128, 128, 64, jnp.bfloat16) \
+        == "hybrid"
+
+
 @pytest.mark.slow
 def test_pack_cache_keyed_by_params(key, interpret_pallas):
     """The packed-weight cache must key on params IDENTITY: different

@@ -171,11 +171,17 @@ def _ring_tables(cfg: WavenetConfig):
 
 # layers whose ring exceeds this many rows move to the HBM ring in hybrid
 # mode (the large-dilation rings dominate VMEM at big batch: d=512 K=3 is
-# 1024 rows/layer while d<=64 layers sum to 762 for the whole shipped stack)
+# 1024 rows/layer while d<=64 layers sum to 762 for the whole shipped
+# stack).  The threshold ADAPTS downward with batch (round 4): at B=128
+# even the mid-dilation rings outgrow VMEM, so more of them move to HBM —
+# _hybrid_threshold picks the largest value that fits the budget.
 _HYBRID_VMEM_MAX_ROWS = 128
 
+# HBM-ring zero-fill chunk (rows per DMA at clip start)
+_Z_CHUNK = 64
 
-def _hybrid_tables(cfg: WavenetConfig):
+
+def _hybrid_tables(cfg: WavenetConfig, max_rows: int = _HYBRID_VMEM_MAX_ROWS):
     """Split the per-layer rings between VMEM and HBM.
 
     Returns (vmem_offs, hbm_offs, sizes, big_index, vmem_rows, hbm_rows):
@@ -185,7 +191,7 @@ def _hybrid_tables(cfg: WavenetConfig):
     vmem_offs, hbm_offs, big_index = [], [], []
     v = h = nbig = 0
     for s in sizes:
-        if s > _HYBRID_VMEM_MAX_ROWS:
+        if s > max_rows:
             vmem_offs.append(-1)
             hbm_offs.append(h)
             big_index.append(nbig)
@@ -230,17 +236,43 @@ def select_mode(cfg: WavenetConfig, lc_channels: int, batch: int,
     if (dtype != jnp.int8
             and a_bytes + sr_bytes + ring_bytes + lc_bytes <= budget):
         return "resident"
-    _, _, _, bidx, vmem_rows, hbm_rows = _hybrid_tables(cfg)
-    nbig = int((bidx >= 0).sum())
-    if dtype != jnp.int8 and nbig and batch % 8 == 0:
+    if dtype != jnp.int8 and batch % 8 == 0 \
+            and _hybrid_threshold(cfg, lc_channels, batch, t_cond,
+                                  dtype) is not None:
+        return "hybrid"
+    return "streamed"
+
+
+def _hybrid_threshold(cfg: WavenetConfig, lc_channels: int, batch: int,
+                      t_cond: int, dtype):
+    """Largest VMEM-ring row threshold whose hybrid layout fits the budget
+    (None if none does).  Lower thresholds move more rings to HBM: cheap
+    in bandwidth (each ring row is touched K times per step regardless)
+    but more DMA issues per step, so prefer the largest that fits."""
+    import jax.numpy as jnp
+    lay = _layout(cfg, lc_channels)
+    K, R, S = cfg.kernel_size, cfg.residual_filters, cfg.skip_filters
+    D = cfg.dilation_filters
+    itemsize = jnp.dtype(dtype).itemsize
+    act = 4 if dtype == jnp.float32 else 2
+    budget = _RESIDENT_BUDGET_MB * 2 ** 20
+    a_bytes = cfg.num_layers * lay["a_rows"] * lay["a_cols"] * itemsize
+    sr_bytes = cfg.num_layers * lay["res_rows"] * (S + R) * act
+    lc_bytes = t_cond * batch * lc_channels * act
+    gcon_bytes = cfg.num_layers * batch * 2 * D * act
+    for max_rows in (128, 64, 32, 16, 8):
+        _, _, _, bidx, vmem_rows, _ = _hybrid_tables(cfg, max_rows)
+        nbig = int((bidx >= 0).sum())
+        if not nbig:
+            continue
         hybrid_bytes = (a_bytes + sr_bytes + vmem_rows * batch * R * act
                         + 2 * nbig * (K - 1) * batch * R * act  # taps_buf
                         + 2 * nbig * batch * R * act            # wcur
-                        + 128 * batch * R * act                 # zbuf
+                        + _Z_CHUNK * batch * R * act            # zbuf
                         + lc_bytes + gcon_bytes)
         if hybrid_bytes <= budget:
-            return "hybrid"
-    return "streamed"
+            return max_rows
+    return None
 
 
 def _mu_law_encode_f32(x, q):
@@ -259,7 +291,8 @@ def _mu_law_decode_f32(bins, q):
 def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                  length: int, t_cond: int, mode: str, dtype,
                  gate_order: str = "tanh_first", G: int = 1,
-                 resident: bool = False, hybrid: bool = False):
+                 resident: bool = False, hybrid: bool = False,
+                 hybrid_rows: int = _HYBRID_VMEM_MAX_ROWS):
     L = cfg.num_layers
     K = cfg.kernel_size
     D = cfg.dilation_filters
@@ -293,10 +326,9 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
         # with writes at i-1 or i: j*d mod (K-1)d is never 1 or 2 for
         # d > 2).  VMEM keeps only the small-d rings.
         (_voffs_np, _hoffs_np, _sizes_np2, _bidx_np,
-         _, _hbm_rows) = _hybrid_tables(cfg)
+         _, _hbm_rows) = _hybrid_tables(cfg, hybrid_rows)
         _big_layers = [l for l in range(L) if _hoffs_np[l] >= 0]
         NBIG = len(_big_layers)
-        _Z_CHUNK = 128
 
     def kernel(off_ref, dil_ref, size_ref, seed_ref,          # scalar prefetch
                a_hbm, res_ref, scale_ref, lc_ref, w_pre, b_pre, w_ss, b_ss,
@@ -693,18 +725,22 @@ def _generate_pallas_jit(packed, params, local_condition, global_condition,
     G = _layers_per_dma(cfg, lc_channels, a.dtype.itemsize)
     a = a.reshape(cfg.num_layers // G, G * a.shape[1], a.shape[2])
     scales = scales.reshape(cfg.num_layers // G, G * scales.shape[1], 1)
-    kernel, lay = _make_kernel(cfg, lc_channels, batch, length, t_cond,
-                               mode, dtype, gate_order, G, resident,
-                               hybrid)
-    PK = cfg.preprocess_kernel_size
-    act = jnp.bfloat16 if dtype == jnp.int8 else dtype
     if hybrid:
         K = cfg.kernel_size
         R = cfg.residual_filters
-        _, _, _, bidx, vmem_ring_rows, hbm_rows = _hybrid_tables(cfg)
+        hyb_rows = _hybrid_threshold(cfg, lc_channels, batch, t_cond,
+                                     dtype) or _HYBRID_VMEM_MAX_ROWS
+        _, _, _, bidx, vmem_ring_rows, hbm_rows = _hybrid_tables(
+            cfg, hyb_rows)
         nbig = int((bidx >= 0).sum())
     else:
+        hyb_rows = _HYBRID_VMEM_MAX_ROWS
         vmem_ring_rows = total_p
+    kernel, lay = _make_kernel(cfg, lc_channels, batch, length, t_cond,
+                               mode, dtype, gate_order, G, resident,
+                               hybrid, hyb_rows)
+    PK = cfg.preprocess_kernel_size
+    act = jnp.bfloat16 if dtype == jnp.int8 else dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -750,7 +786,7 @@ def _generate_pallas_jit(packed, params, local_condition, global_condition,
         ] + ([
             pltpu.VMEM((2, nbig, K - 1, batch, R), act),   # taps_buf
             pltpu.VMEM((2, nbig, batch, R), act),          # wcur
-            pltpu.VMEM((128, batch, R), act),              # zbuf
+            pltpu.VMEM((_Z_CHUNK, batch, R), act),         # zbuf
             pltpu.SemaphoreType.DMA((2, nbig, K - 1)),     # rsem
             pltpu.SemaphoreType.DMA((2, nbig)),            # wsem
         ] if hybrid else []),
