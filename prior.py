@@ -51,6 +51,11 @@ def parse_args(argv=None):
                         help="EMA decay for prior shadow params (sampling "
                              "prefers the shadow, like the main model's "
                              "generate path, model.py:33); 0 disables")
+    parser.add_argument("-train_dtype", default="f32",
+                        choices=["f32", "bf16"],
+                        help="bf16 runs the prior stack in mixed precision "
+                             "(master params/losses f32) — the same "
+                             "contract as the main trainer's train_dtype")
     parser.add_argument("-log_every", default=0, type=int, metavar="N",
                         help="fetch+print the nll line every N steps "
                              "(0 = auto: 1 on CPU, 20 on TPU; a per-step "
@@ -200,11 +205,20 @@ def main(argv=None):
         q = vq_mod.quantize(vq_params["vq"], z_e, mode=cfg.vq_mode)
         return q["q_z_x"], speaker_vector(vq_params, cfg, y)
 
-    @jax.jit
-    def step_fn(state, x, y):
+    def loss_fn(params, codes, h):
+        if args.train_dtype == "bf16":
+            # mixed precision: the prior stack runs in bf16 (the main
+            # trainer's train_dtype contract); master params, the code
+            # embedding lookup dtype and the NLL stay f32
+            params = jax.tree_util.tree_map(
+                lambda v: v.astype(jnp.bfloat16), params)
+            h = None if h is None else h.astype(jnp.bfloat16)
+        return prior_loss(params, codes, h)
+
+    def step(state, x, y):
         codes, h = encode_codes(x, y)
-        loss, grads = jax.value_and_grad(prior_loss)(state["params"],
-                                                     codes, h)
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"],
+                                                  codes, h)
         updates, opt_state = opt.update(grads, state["opt_state"])
         params = optax.apply_updates(state["params"], updates)
         new = dict(state, params=params, opt_state=opt_state,
@@ -221,6 +235,22 @@ def main(argv=None):
         usage = jnp.mean((p > 0).astype(jnp.float32))
         return new, {"nll": loss, "code_perplexity": perplexity,
                      "code_usage": usage}
+
+    # mesh-aware batch sharding (round 4): the prior step runs as one
+    # jitted program over the 'data' mesh axis with a donated train state,
+    # the same machinery as the main trainer (train_loop.py) — the prior
+    # used to be the one train loop that ignored it
+    import math
+    from vqvae_wavenet_tpu.parallel.mesh import (make_mesh, batch_sharding,
+                                                 replicated)
+    n_dev = len(jax.devices())
+    num_data = math.gcd(args.batch_size * jax.process_count(), n_dev) or 1
+    mesh = make_mesh(num_data=num_data, num_model=1,
+                     devices=jax.devices()[:num_data])
+    state = jax.device_put(state, replicated(mesh))
+    x_sh = batch_sharding(mesh)
+    step_fn = jax.jit(step, in_shardings=(replicated(mesh), x_sh, x_sh),
+                      donate_argnums=(0,))
 
     os.makedirs(args.save_path, exist_ok=True)
     writer = MetricWriter(args.save_path)

@@ -147,8 +147,11 @@ def test_prior_cli_checkpoint_resume(corpus):
     assert (prior_save / "weights-2").is_dir()
     assert (prior_save / "weights-3").is_dir()
 
-    # resume from the step-2 checkpoint explicitly; 2 more steps -> 4
-    prior_cli.main(common + ["-step", "2",
+    # resume from the step-2 checkpoint explicitly; 2 more steps -> 4.
+    # -train_dtype bf16 on the resumed run also covers the round-4 prior
+    # mixed-precision path (master params stay f32, so the f32 checkpoint
+    # restores unchanged)
+    prior_cli.main(common + ["-step", "2", "-train_dtype", "bf16",
                              "-prior_restore", str(prior_save / "weights-2")])
     assert (prior_save / "weights-4").is_dir()
 

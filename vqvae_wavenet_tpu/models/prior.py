@@ -94,7 +94,9 @@ def prior_loss(params, codes, gc=None, *, dropout_rng=None,
                dropout_rate: float = 0.0):
     logits = prior_logits(params, codes, gc, dropout_rng=dropout_rng,
                           dropout_rate=dropout_rate)
-    logp = jax.nn.log_softmax(logits)
+    # f32 softmax regardless of the compute dtype (bf16 mixed-precision
+    # training casts the params; the NLL itself must stay exact)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
     nll = -jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)
 
