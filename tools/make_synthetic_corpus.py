@@ -18,6 +18,13 @@ Manifests follow the reference's data/vctk_info grammar (reference
 utils.py:49-116, dataset.py:24-60).  Usage:
 
     python tools/make_synthetic_corpus.py [BASE=/tmp/e2e/data] [--rich]
+        [--scale N]
+
+* --scale N: N cheap tone utterances spread over 20 speakers — an
+  input-pipeline stress corpus at real-VCTK file counts (the reference
+  trains from 44,253 files, data/vctk_info/vctk_train.txt) for loader
+  benchmarking; spectral richness doesn't matter there, file count and
+  byte volume do.
 """
 import os
 import sys
@@ -60,11 +67,32 @@ def _utterance(rng, f0_base, formants, seconds):
     return (out * 0.6).astype(np.float32)
 
 
-def make_corpus(base: str, rich: bool = False) -> None:
+def make_corpus(base: str, rich: bool = False, scale: int = 0) -> None:
     rng = np.random.default_rng(0)
     t = np.arange(SR) / SR
     os.makedirs(f"{base}/vctk_info", exist_ok=True)
-    if rich:
+    if scale:
+        n_speakers = 20
+        spk_names = [f"p{225 + i}" for i in range(n_speakers)]
+        files = []
+        # cheap per-file synthesis: one tone + harmonic, length 1-2 s,
+        # phase/length varied per file so the bytes differ
+        for j in range(scale):
+            i = j % n_speakers
+            spk = spk_names[i]
+            if j < n_speakers:
+                os.makedirs(f"{base}/VCTK-Corpus/wav48/{spk}",
+                            exist_ok=True)
+            n = int(SR * (1.0 + (j % 17) / 16.0))
+            tt = np.arange(n) / SR
+            f0 = 120.0 + 8.0 * i
+            wav = (0.5 * np.sin(2 * np.pi * f0 * tt + j)
+                   + 0.1 * np.sin(2 * np.pi * 2 * f0 * tt))
+            rel = f"{spk}/{spk}_{j // n_speakers:04d}.wav"
+            wavfile.write(f"{base}/VCTK-Corpus/wav48/{rel}", SR,
+                          (wav * 20000).astype(np.int16))
+            files.append(rel)
+    elif rich:
         n_speakers, n_utts = 10, 20
         spk_names = [f"p{225 + i}" for i in range(n_speakers)]
         files = []
@@ -112,6 +140,12 @@ def make_corpus(base: str, rich: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--rich"]
+    scale = 0
+    argv = sys.argv[1:]
+    if "--scale" in argv:
+        i = argv.index("--scale")
+        scale = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    argv = [a for a in argv if a != "--rich"]
     make_corpus(argv[0] if argv else "/tmp/e2e/data",
-                rich="--rich" in sys.argv)
+                rich="--rich" in sys.argv, scale=scale)
