@@ -153,3 +153,44 @@ def test_mixed_precision_train_step(key):
     assert losses[-1] < losses[0]
     # params stay f32 (master weights)
     assert ts["params"]["decoder"]["preprocess"]["kernel"].dtype == jnp.float32
+
+
+def test_fused_adam_ema_matches_optax_chain(key):
+    """fused_adam_ema_step (PERF.md #29) vs the literal optax sequence
+    (adam.update -> apply_updates -> ema_update) over several steps,
+    crossing a schedule boundary, for both family b1 values."""
+    import optax
+    from vqvae_wavenet_tpu.training.optimizer import (
+        make_optimizer, fused_adam_ema_step)
+
+    schedule = {0: 1e-3, 3: 5e-4}
+    params = {"w": jax.random.normal(key, (16, 8)),
+              "b": {"c": jnp.ones((8,)) * 0.3}}
+    for b1 in (0.9, 0.5):
+        opt = optax.adam(piecewise_constant_schedule(schedule),
+                         b1=b1, b2=0.999)
+        p_a = jax.tree_util.tree_map(jnp.copy, params)
+        e_a = jax.tree_util.tree_map(jnp.copy, params)
+        s_a = opt.init(p_a)
+        p_b = jax.tree_util.tree_map(jnp.copy, params)
+        e_b = jax.tree_util.tree_map(jnp.copy, params)
+        s_b = opt.init(p_b)
+        assert jax.tree_util.tree_structure(s_a) \
+            == jax.tree_util.tree_structure(s_b)
+        for i in range(6):
+            g = jax.tree_util.tree_map(
+                lambda v: jnp.full_like(v, 0.1 * (i + 1)), params)
+            upd, s_a = opt.update(g, s_a, p_a)
+            p_a = optax.apply_updates(p_a, upd)
+            e_a = ema_update(e_a, p_a, 0.999)
+            p_b, e_b, s_b = fused_adam_ema_step(
+                p_b, e_b, s_b, g,
+                piecewise_constant_schedule(schedule), b1=b1,
+                ema_decay=0.999)
+        # state layout identical (checkpoint interchangeability)
+        assert jax.tree_util.tree_structure(s_a) \
+            == jax.tree_util.tree_structure(s_b)
+        for la, lb in zip(jax.tree_util.tree_leaves((p_a, e_a, s_a)),
+                          jax.tree_util.tree_leaves((p_b, e_b, s_b))):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=2e-6, atol=2e-7)

@@ -581,10 +581,7 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
     import optax
     from vqvae_wavenet_tpu.models import vq as vq_mod
     from vqvae_wavenet_tpu.training.optimizer import (
-        piecewise_constant_schedule, ema_update)
-    from vqvae_wavenet_tpu.training.train_loop import _family_optimizer
-
-    opt = _family_optimizer(cfg)
+        piecewise_constant_schedule, ema_update, fused_adam_ema_step)
 
     def step(ts, batch):
         if cfg.model_family == "magenta":
@@ -602,8 +599,13 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
                                          with_tensors=with_summaries)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             ts["params"])
-        updates, opt_state = opt.update(grads, ts["opt_state"], ts["params"])
-        params = optax.apply_updates(ts["params"], updates)
+        # one fused Adam+apply+EMA tree pass (PERF.md #29), identical
+        # state layout/numerics to the optax chain
+        params, ema_params, opt_state = fused_adam_ema_step(
+            ts["params"], ts["ema_params"], ts["opt_state"], grads,
+            piecewise_constant_schedule(cfg.learning_rate_schedule),
+            b1=0.5 if cfg.model_family == "magenta" else 0.9,
+            ema_decay=ema_decay)
         model_state = aux.get("state", ts["model_state"])
         if cfg.use_vq and cfg.vq_mode == "ema":
             # same post-optimizer codebook EMA as train_loop.py:82-87; the
@@ -613,11 +615,13 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
                 {"embedding": params["vq"]["embedding"]},
                 ts["model_state"]["vq"], cluster_size, dw,
                 decay=cfg.ema_decay)
+            ema_params = dict(ema_params, vq=ema_update(
+                ts["ema_params"]["vq"], new_vq, ema_decay))
             params = dict(params, vq=new_vq)
             model_state = dict(model_state, vq=new_vq_state)
         new_ts = {
             "params": params,
-            "ema_params": ema_update(ts["ema_params"], params, ema_decay),
+            "ema_params": ema_params,
             "model_state": model_state,
             "opt_state": opt_state,
             "step": ts["step"] + 1,

@@ -60,8 +60,6 @@ def train_step(ts, batch, rng=None, *, cfg: ModelConfig,
     q(z|x), e_k, a subsampled distance matrix, the raw gradients (per-layer
     histograms) and the gradient global norm.  Compiled as a second program
     and invoked only every `interval` steps, so the hot step stays lean."""
-    opt = _family_optimizer(cfg)
-
     if cfg.model_family == "magenta":
         from vqvae_wavenet_tpu.models.magenta import magenta_forward
 
@@ -77,21 +75,32 @@ def train_step(ts, batch, rng=None, *, cfg: ModelConfig,
             return loss, aux
 
     (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts["params"])
-    updates, opt_state = opt.update(grads, ts["opt_state"], ts["params"])
-    params = optax.apply_updates(ts["params"], updates)
+    # Adam + apply + EMA as ONE fused tree pass (PERF.md #29) — state
+    # layout and numerics match the optax chain built by
+    # _family_optimizer (same checkpoints, parity-tested)
+    from vqvae_wavenet_tpu.training.optimizer import fused_adam_ema_step
+    params, ema_params, opt_state = fused_adam_ema_step(
+        ts["params"], ts["ema_params"], ts["opt_state"], grads,
+        piecewise_constant_schedule(cfg.learning_rate_schedule),
+        b1=0.5 if cfg.model_family == "magenta" else 0.9,
+        ema_decay=ema_decay)
     model_state = aux.get("state", ts["model_state"])
 
     if cfg.use_vq and cfg.vq_mode == "ema":
         new_vq, new_vq_state = vq_mod.ema_codebook_update(
             {"embedding": params["vq"]["embedding"]}, ts["model_state"]["vq"],
             aux["z_e"], aux["q_z_x"], decay=cfg.ema_decay)
+        # the EMA shadow must track the codebook-updated embedding, as
+        # the unfused sequence did (ema_update ran after the VQ update)
+        ema_params = dict(ema_params, vq=ema_update(
+            ts["ema_params"]["vq"], new_vq, ema_decay))
         params = dict(params, vq=new_vq)
         model_state = dict(model_state, vq=new_vq_state)
 
     step = ts["step"] + 1
     new_ts = {
         "params": params,
-        "ema_params": ema_update(ts["ema_params"], params, ema_decay),
+        "ema_params": ema_params,
         "model_state": model_state,
         "opt_state": opt_state,
         "step": step,
