@@ -165,6 +165,54 @@ def test_pallas_hybrid_ring_greedy(key, interpret_pallas):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_pallas_hybrid_ring_greedy_depth1(key, interpret_pallas,
+                                          monkeypatch):
+    """Same hybrid parity with the per-step (block_S == 1) DMA schedule
+    pinned — the fallback path legality-gated configs take (round 4's
+    block prefetch otherwise engages at S=8 on this shape)."""
+    monkeypatch.setattr(gen_pallas, "_pick_block_S",
+                        lambda *a, **k: 1)
+    cfg = WavenetConfig(
+        quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 96], kernel_size=3, dilation_filters=64,
+        skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+        preprocess_filters=128)
+    B = 8
+    params = init_wavenet_params(key, cfg, lc_channels=128)
+    lc = jax.random.normal(jax.random.PRNGKey(7), (B, 4, 128)) * 0.3
+    ref = np.asarray(fast.generate(params, cfg, lc, length=208,
+                                   mode="greedy"))
+    got = np.asarray(gen_pallas.generate_pallas(
+        params, cfg, lc, length=208, mode="greedy", dtype=jnp.float32,
+        ring_mode="hybrid"))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_pick_block_S():
+    """Block-prefetch depth (round 4): S=8 while the d>=128 rings are the
+    only HBM residents, shrinking with the threshold at B=128; the
+    legality gates (S | length, 3S <= d) force the per-step fallback."""
+    cfg = WavenetConfig()
+    assert gen_pallas._pick_block_S(cfg, 128, 32, 64, jnp.bfloat16,
+                                    4096, 128) == 8
+    assert gen_pallas._pick_block_S(cfg, 128, 64, 64, jnp.bfloat16,
+                                    4096, 128) == 8
+    assert gen_pallas._pick_block_S(cfg, 128, 128, 64, jnp.bfloat16,
+                                    4096, 64) == 2
+    # length not a multiple of the depth: falls through to a legal one
+    assert gen_pallas._pick_block_S(cfg, 128, 64, 64, jnp.bfloat16,
+                                    4100, 128) in (1, 2, 4)
+    # tiny dilation in HBM (3S > d) forbids deep blocks
+    small_d = WavenetConfig(
+        quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 8], kernel_size=3, dilation_filters=64,
+        skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+        preprocess_filters=128)
+    assert gen_pallas._pick_block_S(small_d, 128, 8, 4, jnp.float32,
+                                    208, 4) in (1, 2)
+
+
 def test_select_mode_shipped_config():
     """Mode selection on the real 30-layer config: small batch is fully
     resident; B=32 exceeds VMEM rings and picks hybrid; int8 streams."""

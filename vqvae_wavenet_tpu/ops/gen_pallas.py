@@ -275,6 +275,61 @@ def _hybrid_threshold(cfg: WavenetConfig, lc_channels: int, batch: int,
     return None
 
 
+def _pick_block_S(cfg: WavenetConfig, lc_channels: int, batch: int,
+                  t_cond: int, dtype, length: int, max_rows: int) -> int:
+    """Tap-prefetch block depth for hybrid mode (round 4, PERF.md #31).
+
+    The per-step schedule starts ~27 single-row ring DMAs per step at
+    B=64/threshold 128; block prefetch replaces them with ONE contiguous
+    S-row DMA per (layer, tap) every S steps (and one S-row write flush
+    per layer per S steps).  Measured worth 3-4% at B=32/64 (PERF #31 —
+    the step is serial-chain-compute-bound, so fewer DMA issues help
+    only modestly).  Legality (all checked here; S=1 = per-step scheme):
+      * S | length — write flushes happen at block ends;
+      * S | d and S | size for every HBM-ring layer — the S tap rows for
+        steps [b*S, (b+1)*S) sit contiguously in the ring with no
+        intra-block wrap (block starts are 0 mod S);
+      * 3*S <= min d over HBM layers — reads for block c are issued at
+        the start of block c-1, where the newest write KNOWN COMPLETE
+        is block c-3's flush (waited there), covering steps through
+        (c-2)*S-1; the newest row a block-c read needs is step
+        (c+1)*S-1-d, so d >= 3S makes the race impossible (issue-order
+        alone gives no DMA ordering);
+      * the widened [2, nbig, K-1, S, B, R] taps_buf + [2, nbig, S, B, R]
+        wcur staging still fits the VMEM budget.
+    """
+    import jax.numpy as jnp
+    lay = _layout(cfg, lc_channels)
+    K, R, S = cfg.kernel_size, cfg.residual_filters, cfg.skip_filters
+    D = cfg.dilation_filters
+    itemsize = jnp.dtype(dtype).itemsize
+    act = 4 if dtype == jnp.float32 else 2
+    budget = _RESIDENT_BUDGET_MB * 2 ** 20
+    _, _, _, bidx, vmem_rows, _ = _hybrid_tables(cfg, max_rows)
+    nbig = int((bidx >= 0).sum())
+    _, dils, sizes, _ = _ring_tables(cfg)
+    big_d = [int(d) for d, s in zip(dils, sizes) if s > max_rows]
+    if not big_d:
+        return 1
+    base = (cfg.num_layers * lay["a_rows"] * lay["a_cols"] * itemsize
+            + cfg.num_layers * lay["res_rows"] * (S + R) * act
+            + vmem_rows * batch * R * act
+            + _Z_CHUNK * batch * R * act
+            + t_cond * batch * lc_channels * act
+            + cfg.num_layers * batch * 2 * D * act)
+    big_sz = [int(s) for s in sizes if s > max_rows]
+    for sb in (8, 4, 2):
+        if length % sb or 3 * sb > min(big_d):
+            continue
+        if any(d % sb or s % sb for d, s in zip(big_d, big_sz)):
+            continue
+        staged = (2 * nbig * (K - 1) * sb * batch * R * act   # taps_buf
+                  + 2 * nbig * sb * batch * R * act)          # wcur
+        if base + staged <= budget:
+            return sb
+    return 1
+
+
 def _mu_law_encode_f32(x, q):
     mu = float(q - 1)
     x = jnp.clip(x, -1.0, 1.0)
@@ -292,7 +347,8 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                  length: int, t_cond: int, mode: str, dtype,
                  gate_order: str = "tanh_first", G: int = 1,
                  resident: bool = False, hybrid: bool = False,
-                 hybrid_rows: int = _HYBRID_VMEM_MAX_ROWS):
+                 hybrid_rows: int = _HYBRID_VMEM_MAX_ROWS,
+                 block_S: int = 1):
     L = cfg.num_layers
     K = cfg.kernel_size
     D = cfg.dilation_filters
@@ -329,6 +385,8 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
          _, _hbm_rows) = _hybrid_tables(cfg, hybrid_rows)
         _big_layers = [l for l in range(L) if _hoffs_np[l] >= 0]
         NBIG = len(_big_layers)
+        SB = block_S               # tap-prefetch block depth (#31)
+        N_BLK = length // SB
 
     def kernel(off_ref, dil_ref, size_ref, seed_ref,          # scalar prefetch
                a_hbm, res_ref, scale_ref, lc_ref, w_pre, b_pre, w_ss, b_ss,
@@ -344,7 +402,11 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
         i = pl.program_id(0)
 
         if hybrid:
+            blk = jax.lax.div(i, SB)
+            ph = jax.lax.rem(i, SB)
+
             def read_dma(step, l, j):
+                # SB == 1 path: one row per (layer, tap) per step
                 bi = int(_bidx_np[l])
                 d_ = int(_dils_np[l])
                 size_ = int(_sizes_np[l])
@@ -365,6 +427,32 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                     wcur.at[slot, bi], hbm_ring.at[row],
                     wsem.at[slot, bi])
 
+            def read_blk_dma(b_idx, l, j):
+                # SB > 1 path (#31): the SB tap rows for steps
+                # [b*SB, (b+1)*SB) sit contiguously (S | d, S | size,
+                # block starts 0 mod S — _pick_block_S): ONE DMA
+                bi = int(_bidx_np[l])
+                d_ = int(_dils_np[l])
+                size_ = int(_sizes_np[l])
+                hoff = int(_hoffs_np[l])
+                row0 = hoff + jax.lax.rem(b_idx * SB - j * d_ + j * size_,
+                                          size_)
+                slot = jax.lax.rem(b_idx, 2)
+                return pltpu.make_async_copy(
+                    hbm_ring.at[pl.ds(row0, SB)],
+                    taps_buf.at[slot, bi, j - 1],
+                    rsem.at[slot, bi, j - 1])
+
+            def write_blk_dma(b_idx, l):
+                bi = int(_bidx_np[l])
+                size_ = int(_sizes_np[l])
+                hoff = int(_hoffs_np[l])
+                row0 = hoff + jax.lax.rem(b_idx * SB, size_)
+                slot = jax.lax.rem(b_idx, 2)
+                return pltpu.make_async_copy(
+                    wcur.at[slot, bi], hbm_ring.at[pl.ds(row0, SB)],
+                    wsem.at[slot, bi])
+
             @pl.when(i == 0)
             def _zero_hbm_ring():
                 # outputs start uninitialized; the fast-WaveNet queues
@@ -377,22 +465,50 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                     dma.start()
                     dma.wait()
 
-            @pl.when(i > 0)
-            def _retire_writes():
-                for l in _big_layers:
-                    write_dma(i - 1, l).wait()
+            if SB == 1:
+                @pl.when(i > 0)
+                def _retire_writes():
+                    for l in _big_layers:
+                        write_dma(i - 1, l).wait()
 
-            @pl.when(i == 0)
-            def _prefetch_first():
-                for l in _big_layers:
-                    for j in range(1, K):
-                        read_dma(0, l, j).start()
+                @pl.when(i == 0)
+                def _prefetch_first():
+                    for l in _big_layers:
+                        for j in range(1, K):
+                            read_dma(0, l, j).start()
 
-            @pl.when(i + 1 < length)
-            def _prefetch_next():
-                for l in _big_layers:
-                    for j in range(1, K):
-                        read_dma(i + 1, l, j).start()
+                @pl.when(i + 1 < length)
+                def _prefetch_next():
+                    for l in _big_layers:
+                        for j in range(1, K):
+                            read_dma(i + 1, l, j).start()
+            else:
+                # block schedule: at each block start, retire the flush
+                # of block b-2 (wcur slot reuse), prefetch block b+1's
+                # taps, then retire block b's own reads (issued at the
+                # start of block b-1, or below at i == 0 for block 0)
+                @pl.when(i == 0)
+                def _prefetch_blk0():
+                    for l in _big_layers:
+                        for j in range(1, K):
+                            read_blk_dma(0, l, j).start()
+
+                @pl.when(jnp.logical_and(ph == 0, i >= 2 * SB))
+                def _retire_flush():
+                    for l in _big_layers:
+                        write_blk_dma(blk - 2, l).wait()
+
+                @pl.when(jnp.logical_and(ph == 0, i + SB < length))
+                def _prefetch_next_blk():
+                    for l in _big_layers:
+                        for j in range(1, K):
+                            read_blk_dma(blk + 1, l, j).start()
+
+                @pl.when(ph == 0)
+                def _wait_blk_reads():
+                    for l in _big_layers:
+                        for j in range(1, K):
+                            read_blk_dma(blk, l, j).wait()
 
         def dma_a(l, slot, p):
             return pltpu.make_async_copy(
@@ -495,13 +611,21 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                 stage[:, (K - 1) * R:K * R] = current
                 if is_big:
                     # taps were prefetched from the HBM ring during the
-                    # PREVIOUS step's compute; retire and consume
+                    # PREVIOUS step/block's compute; consume (SB > 1:
+                    # already retired at the block start)
                     bi = int(_bidx_np[l])
-                    slot = jax.lax.rem(t, 2)
-                    for j in range(1, K):
-                        read_dma(t, l, j).wait()
-                        stage[:, (K - 1 - j) * R:(K - j) * R] = \
-                            taps_buf[slot, bi, j - 1].astype(act_dtype)
+                    if SB == 1:
+                        slot = jax.lax.rem(t, 2)
+                        for j in range(1, K):
+                            read_dma(t, l, j).wait()
+                            stage[:, (K - 1 - j) * R:(K - j) * R] = \
+                                taps_buf[slot, bi, j - 1].astype(act_dtype)
+                    else:
+                        slot = jax.lax.rem(blk, 2)
+                        for j in range(1, K):
+                            stage[:, (K - 1 - j) * R:(K - j) * R] = \
+                                taps_buf[slot, bi, j - 1,
+                                         ph].astype(act_dtype)
                 else:
                     for j in range(1, K):
                         past = ring[pl.ds(off + jax.lax.rem(
@@ -526,8 +650,16 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                              * jnp.tanh(pre[:, D:2 * D])).astype(act_dtype)
                 # push this layer's input, then skip + residual-update
                 if is_big:
-                    wcur[jax.lax.rem(t, 2), int(_bidx_np[l])] = current
-                    write_dma(t, l).start()
+                    if SB == 1:
+                        wcur[jax.lax.rem(t, 2), int(_bidx_np[l])] = current
+                        write_dma(t, l).start()
+                    else:
+                        wcur[jax.lax.rem(blk, 2), int(_bidx_np[l]),
+                             ph] = current
+
+                        @pl.when(ph == SB - 1)
+                        def _flush_blk(l=l):
+                            write_blk_dma(blk, l).start()
                 else:
                     ring[pl.ds(off + jax.lax.rem(t, size), 1)] = \
                         current[None]
@@ -581,10 +713,22 @@ def _make_kernel(cfg: WavenetConfig, lc_channels: int, batch: int,
                                           (current, skip))
 
         if hybrid:
-            @pl.when(i == length - 1)
-            def _final_write_retire():   # no step i+1 will wait for these
-                for l in _big_layers:
-                    write_dma(i, l).wait()
+            if SB == 1:
+                @pl.when(i == length - 1)
+                def _final_write_retire():  # no step i+1 waits for these
+                    for l in _big_layers:
+                        write_dma(i, l).wait()
+            else:
+                @pl.when(i == length - 1)
+                def _final_flush_retire():
+                    # blocks N-2 and N-1 have no block start b+2 to
+                    # retire them (block b's flush is waited at the
+                    # start of block b+2); the last block's own flush
+                    # was issued above at ph == SB-1 this same step
+                    for l in _big_layers:
+                        if N_BLK >= 2:
+                            write_blk_dma(blk - 1, l).wait()
+                        write_blk_dma(blk, l).wait()
 
         net = jax.nn.relu(skip).astype(act_dtype)
         net = (jnp.dot(net, w_pp1[...], preferred_element_type=jnp.float32, precision=prec)
@@ -733,12 +877,15 @@ def _generate_pallas_jit(packed, params, local_condition, global_condition,
         _, _, _, bidx, vmem_ring_rows, hbm_rows = _hybrid_tables(
             cfg, hyb_rows)
         nbig = int((bidx >= 0).sum())
+        blk_S = _pick_block_S(cfg, lc_channels, batch, t_cond, dtype,
+                              length, hyb_rows)
     else:
         hyb_rows = _HYBRID_VMEM_MAX_ROWS
         vmem_ring_rows = total_p
+        blk_S = 1
     kernel, lay = _make_kernel(cfg, lc_channels, batch, length, t_cond,
                                mode, dtype, gate_order, G, resident,
-                               hybrid, hyb_rows)
+                               hybrid, hyb_rows, blk_S)
     PK = cfg.preprocess_kernel_size
     act = jnp.bfloat16 if dtype == jnp.int8 else dtype
 
@@ -784,8 +931,13 @@ def _generate_pallas_jit(packed, params, local_condition, global_condition,
             pltpu.VMEM((batch, lay["off_skip"]), act),
             pltpu.SemaphoreType.DMA((4, 4)),
         ] + ([
-            pltpu.VMEM((2, nbig, K - 1, batch, R), act),   # taps_buf
-            pltpu.VMEM((2, nbig, batch, R), act),          # wcur
+            # SB > 1 (#31): SB-deep tap/write staging per slot; the
+            # SB == 1 shapes squeeze the unit axis out to match the
+            # per-step DMA row granularity
+            pltpu.VMEM((2, nbig, K - 1) + ((blk_S,) if blk_S > 1 else ())
+                       + (batch, R), act),                 # taps_buf
+            pltpu.VMEM((2, nbig) + ((blk_S,) if blk_S > 1 else ())
+                       + (batch, R), act),                 # wcur
             pltpu.VMEM((_Z_CHUNK, batch, R), act),         # zbuf
             pltpu.SemaphoreType.DMA((2, nbig, K - 1)),     # rsem
             pltpu.SemaphoreType.DMA((2, nbig)),            # wsem
