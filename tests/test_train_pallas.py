@@ -169,6 +169,93 @@ def test_fused_gradients_multitile_ring(key):
         assert rel < 5e-3, (jax.tree_util.keystr(kr), rel)
 
 
+def _grad_parity(cfg, params, x, lc, wseed=13):
+    w = jax.random.normal(jax.random.PRNGKey(wseed), (256,)) * 0.1
+
+    def loss(p, engine):
+        out = wavenet_logits(p, cfg, x, lc, engine=engine)
+        return jnp.mean(jnp.tanh(out) * w)
+
+    lr, gr = jax.value_and_grad(lambda p: loss(p, "xla"))(params)
+    lp_, gp = jax.value_and_grad(lambda p: loss(p, "pallas"))(params)
+    assert abs(float(lr) - float(lp_)) < 1e-5
+    flat_r = jax.tree_util.tree_flatten_with_path(gr)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(gp)[0]
+    for (kr, vr), (kp, vp) in zip(flat_r, flat_p):
+        assert kr == kp
+        vr, vp = np.asarray(vr, np.float64), np.asarray(vp, np.float64)
+        rel = np.abs(vr - vp).max() / (np.abs(vr).max() + 1e-12)
+        assert rel < 5e-3, (jax.tree_util.keystr(kr), rel)
+
+
+def _ring_cfg():
+    return WavenetConfig(
+        quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 384], kernel_size=3, dilation_filters=64,
+        skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+        preprocess_filters=128)
+
+
+@pytest.mark.slow
+def test_fused_dk_multisweep_boundary(key, monkeypatch):
+    """FUSED chain+dW backward (PERF.md #33) split into TWO layer-group
+    sweeps: exercises the group-boundary dX HBM stream (first=True top
+    sweep without the dxin read, non-first bottom sweep reading it), the
+    per-group spill-arena layouts, and the in-kernel dk accumulation
+    against the padded-xstack tap DMAs — all vs jax.grad of XLA."""
+    monkeypatch.setattr(train_pallas, "_FORCE_FUSED_LG", 2)
+    cfg = _ring_cfg()
+    params, x, lc = make_inputs(cfg, B=2, T=1024, t_cond=128, seed=17)
+    plan = train_pallas._plan_bwd_fused_dk(
+        4, 3, 128, 64, 128, (1, 2, 4, 384), 2, 1024, 8, 4, lg_cap=2)
+    assert plan is not None and plan["Lg"] == 2 and len(plan["layouts"]) == 2
+    _grad_parity(cfg, params, x, lc, wseed=18)
+
+
+@pytest.mark.slow
+def test_fused_dk_gate_precomp(key, monkeypatch):
+    """Gate-derivative precompute (Ga/Gb from saved activations ahead of
+    the dgated dot, PERF.md #33) re-associates the bf16 elementwise
+    products — parity must hold within the same tolerance."""
+    monkeypatch.setattr(train_pallas, "_GATE_PRECOMP", True)
+    cfg = _ring_cfg()
+    params, x, lc = make_inputs(cfg, B=2, T=1024, t_cond=128, seed=19)
+    _grad_parity(cfg, params, x, lc, wseed=20)
+
+
+@pytest.mark.slow
+def test_two_kernel_backward_fallback(key, monkeypatch):
+    """With the fused chain+dW sweeps disabled, the two-kernel path
+    (chain streaming dpre to HBM + the separate dW pass over the padded
+    xstack) must still be grad-exact — it remains the fallback for
+    configs whose group plan doesn't fit."""
+    monkeypatch.setattr(train_pallas, "_BWD_FUSED_DK", "off")
+    cfg = _ring_cfg()
+    params, x, lc = make_inputs(cfg, B=2, T=1024, t_cond=128, seed=21)
+    _grad_parity(cfg, params, x, lc, wseed=22)
+
+
+def test_fused_dk_plan_shipped():
+    """Group plans on the real configs: the shipped 30-layer bf16
+    training shape splits into 15-layer sweeps at Tt=256 with dsk
+    in-kernel; the Magenta 50-layer preset gets 10-layer sweeps (its
+    old chain plan only fit dsk at Tt=64, PERF.md #28d)."""
+    cfg = WavenetConfig()
+    plan = train_pallas._plan_bwd_fused_dk(
+        cfg.num_layers, cfg.kernel_size, cfg.residual_filters,
+        cfg.dilation_filters, cfg.skip_filters,
+        tuple(cfg.dilation_rates), 8, 6656, 64, 2)
+    assert plan is not None
+    assert (plan["Tt"], plan["Lg"], plan["dsk_in"]) == (256, 15, True)
+    from vqvae_wavenet_tpu.models.magenta import magenta_wavenet_config
+    m = magenta_wavenet_config()
+    pm = train_pallas._plan_bwd_fused_dk(
+        m.num_layers, m.kernel_size, m.residual_filters,
+        m.dilation_filters, m.skip_filters, tuple(m.dilation_rates),
+        8, 6144, 64, 2)
+    assert pm is not None and pm["dsk_in"]
+
+
 @pytest.mark.slow
 def test_fused_gradients_foldable_gc(key):
     """Per-layer global conditioning with T_gc == 1 (the Magenta add_gc

@@ -70,6 +70,37 @@ _BWD_FORM = "auto"
 # lru_cache keys (flipping it never returns a stale kernel).
 _FORCE_DSK_OUT = False
 
+# Round-4 FUSED chain+dW backward (PERF.md #33): the dW tap accumulation
+# runs inside the reverse chain sweep, so dpre never leaves VMEM (the
+# two-kernel path streams a [L,B,T,2D] dpre tensor through HBM — ~820 MB
+# each way on the shipped config).  The full-L fusion cannot fit: the
+# [L,K,R,2D] f32 dk accumulator alone is 47 MB on top of the chain's
+# ~114 MiB plan, so the sweep splits into layer GROUPS (one pallas_call
+# per group, dX handed between groups through one [B,T,R] HBM stream).
+# 'auto' = use when a group plan fits, else fall back to the two-kernel
+# path; 'off' = always two-kernel (A/B hook, passed into cached builders
+# explicitly).
+_BWD_FUSED_DK = "auto"
+_BWD_FUSED_BUDGET_MB = 110.0
+# Test hook: cap the layer-group size so the multi-sweep path (group
+# boundary dX stream) is exercisable on small test configs.
+_FORCE_FUSED_LG = None
+
+# Precompute the gate-derivative factors Ga = d(gated)/da / dgated,
+# Gb = .../db from the SAVED activations right after the act DMA lands,
+# so the serial dgated -> dpre -> c_all critical path carries two
+# multiplies instead of the whole ~8-op elementwise chain.  A/B hook;
+# passed into the cached builders explicitly.
+_GATE_PRECOMP = False
+
+
+def _xpad_rows(K: int, dils) -> int:
+    """Zero-pad rows prepended to the forward's saved layer-input stack
+    (xstack) in HBM, so the backward dW tap reads x[t - o] are plain DMAs
+    at offset t0 + PH - o for every tile (the pad head IS the causal
+    zero pad of conv1d_v2, wavenet_ops.py:81-87)."""
+    return _round_up((K - 1) * max(dils), 16)
+
 
 def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize,
               dsk_forced_out=False, hoist=False):
@@ -139,7 +170,7 @@ def _plan_bwd(L, K, R, D, S, dils, B, T, FR, itemsize,
 @functools.lru_cache(maxsize=16)
 def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
                      cdtype_name, interpret, dsk_forced_out=False,
-                     hoist=False):
+                     hoist=False, gate_precomp=False):
     """Fused Pallas BACKWARD for the residual stack (PERF.md #22).
 
     One sequential grid over time tiles processed in REVERSE; per tile
@@ -248,6 +279,16 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
             f16 = actsl[slot, :, :, :D]
             g16 = actsl[slot, :, :, D:]
             gated = f16 * g16
+            if gate_precomp:
+                # gate-derivative factors from the saved activations only
+                # — independent of the dgated dot below, so they can fill
+                # VPU slots while the MXU runs it (PERF.md #33)
+                if tanh_first:
+                    Ga = g16 * (one - f16 * f16)
+                    Gb = gated * (one - g16)
+                else:
+                    Ga = gated * (one - f16)
+                    Gb = f16 * (one - g16 * g16)
             # act slot fully read — refill it for layer l-2 while the
             # rest of this layer (and all of l-1) computes
             if l >= 2:
@@ -263,7 +304,10 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
                 dg = jnp.dot(xcat[...].reshape(B * Tt, R + S), rs_cat[l],
                              preferred_element_type=f32)
             dg16 = dg.astype(cdtype).reshape(B, Tt, D)
-            if tanh_first:
+            if gate_precomp:
+                da = dg16 * Ga
+                db = dg16 * Gb
+            elif tanh_first:
                 da = dg16 * g16 * (one - f16 * f16)
                 db = dg16 * f16 * g16 * (one - g16)
             else:
@@ -437,7 +481,8 @@ def _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
 
 
 @functools.lru_cache(maxsize=16)
-def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
+def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret,
+                    PH=0):
     """Fused Pallas dW pass (PERF.md #23/#26): dk[l,j] = sum_t x_l[t-o_j]
     dpre_l[t] accumulated in a resident [L,K,R,2D] f32 VMEM block.
 
@@ -489,8 +534,10 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
             hist[...] = jnp.zeros_like(hist)
 
         def x_dma(slot, l):
+            # xin arrives PADDED with PH zero head rows (the forward's
+            # xstack layout); the unshifted tile starts at t0 + PH
             return pltpu.make_async_copy(
-                xin_hbm.at[l, :, pl.ds(t0, Tt), :],
+                xin_hbm.at[l, :, pl.ds(t0 + PH, Tt), :],
                 xsl.at[slot], xsem.at[slot])
 
         def d_dma(slot, l):
@@ -593,6 +640,430 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret):
     return dk_call
 
 
+def _plan_bwd_fused_dk(L, K, R, D, S, dils, B, T, FR, itemsize,
+                       dsk_forced_out=False, lg_cap=None):
+    """Tile + layer-group plan for the FUSED chain+dW backward (#33).
+
+    The one-kernel chain+dW fusion at the shipped config needs the full
+    [L,K,R,2D] f32 dk accumulator (47 MB) on top of the chain's ~114 MiB
+    plan — structurally over VMEM (the same arithmetic that refuses f32
+    training, PERF.md #32).  Splitting the backward into layer GROUPS
+    (one pallas_call per group, dX handed between groups through one
+    [B,T,R] HBM stream) shrinks every resident piece by ng = L/Lg while
+    keeping dpre entirely in VMEM: no [L,B,T,2D] dpre HBM round trip
+    (~820 MB each way on the shipped config) and no separate dW kernel.
+    Search prefers in-kernel dsk, then the bigger tile (the chain
+    measured 0.8 ms faster at Tt=256, PERF.md #28), then the largest
+    group (fewest boundary streams).
+    """
+    D2 = 2 * D
+    budget = _BWD_FUSED_BUDGET_MB * 2 ** 20
+    for dsk_in in ((False,) if dsk_forced_out else (True, False)):
+        for Tt in (256, 128, 64):
+            if T % Tt or Tt % FR:
+                continue
+            Ft = Tt // FR
+            for Lg in range(L, 0, -1):
+                if L % Lg or (lg_cap is not None and Lg > lg_cap):
+                    continue
+                ng = L // Lg
+                layouts, ok = [], True
+                for g in range(ng):
+                    offs, modes, off = [], [], 0
+                    for d in dils[g * Lg:(g + 1) * Lg]:
+                        Hl = (K - 1) * d
+                        if Hl <= Tt:
+                            sz, mode = _round_up(Hl, 16), "small"
+                        elif d % Tt == 0:
+                            sz, mode = Hl, "ring"
+                        else:
+                            ok = False
+                            break
+                        offs.append(off)
+                        modes.append(mode)
+                        off += sz
+                    if not ok:
+                        break
+                    layouts.append((tuple(offs), tuple(modes),
+                                    max(off, 16)))
+                if not ok:
+                    continue
+                worst = max(ar for _, _, ar in layouts)
+                resident = ((Lg * K * D2 * R + Lg * (R + S) * D) * itemsize
+                            + Lg * K * R * D2 * 4          # dk accumulator
+                            + Lg * D * R * 4 + Lg * R * 4  # drs / drb
+                            + (Lg * D * S * 4 if dsk_in else 0)
+                            + B * worst * R * itemsize)    # spill arena
+                tile = (2 * B * Tt * D2 * itemsize         # act slots
+                        + 2 * K * B * (Tt + 8) * R * itemsize  # x tap slots
+                        + 2 * B * Tt * S * itemsize        # dskip pipeline
+                        + 4 * B * Tt * R * itemsize        # dxin+dxout
+                        + 2 * Lg * Ft * B * D2 * 4         # dlc pipeline
+                        + B * Tt * R * 4                   # dX carry (f32)
+                        + 2 * B * Tt * D2 * 4              # dgated f32 live
+                        + B * Tt * K * R * 4               # fused tap dot
+                        + B * Tt * (R + S) * itemsize      # [dX|dskip] cat
+                        + 2 * B * Tt * D2 * itemsize)      # dpre/G live
+                if resident + tile <= budget:
+                    return {"Tt": Tt, "n_tiles": T // Tt, "Ft": Ft,
+                            "Lg": Lg, "layouts": tuple(layouts),
+                            "dsk_in": dsk_in}
+    return None
+
+
+@functools.lru_cache(maxsize=64)
+def _make_bwd_sweep_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
+                           cdtype_name, interpret, g0, Lg, Tt, Ft,
+                           offs, modes, AR, dsk_in, first, PH,
+                           gate_precomp, mx_reduce=True):
+    """One layer-group sweep of the FUSED chain+dW backward (PERF.md #33).
+
+    Identical reverse-tile chain math to _make_bwd_kernel restricted to
+    layers [g0, g0+Lg), with two changes:
+      * dpre never leaves VMEM — the dW tap accumulation dk[l,j] +=
+        x_l[t-o_j]^T dpre_l[t] runs right here against x tap tiles DMA'd
+        from the forward's PADDED xstack (one [B,Tt,R] read per tap; the
+        PH zero head makes every shifted offset a legal plain DMA);
+      * the group-boundary dX is a [B,T,R] HBM stream: sweep g reads the
+        dX sweep g+1 wrote (first=True for the top group starts from
+        zeros without the read), and the bottom group's stream IS dx0.
+    Reference semantics: wavenet_ops.py:59-138 gradients, as in
+    _make_bwd_kernel/_make_dk_kernel.
+    """
+    cdtype = jnp.bfloat16 if cdtype_name == "bf16" else jnp.float32
+    D2 = 2 * D
+    f32 = jnp.float32
+    n_tiles = T // Tt
+    F = T // FR
+    tanh_first = gate_order == "tanh_first"
+
+    def body(*refs):
+        refs = list(refs)
+        kcat, rs_cat = refs.pop(0), refs.pop(0)
+        sel_ref = refs.pop(0) if mx_reduce else None
+        dskip_ref = refs.pop(0)
+        dxin_ref = None if first else refs.pop(0)
+        act_hbm, xin_hbm, dxout_ref, dlc_ref, *rest = refs
+        if dsk_in and mx_reduce:
+            # dsk and drs merged into ONE per-layer dot (both contract
+            # gated over B*Tt rows; the RHS is exactly xcat) — split
+            # back outside the kernel
+            (dskrs_ref, drb_ref, dk_ref, arena, actsl, xsl, xcat,
+             asem, xsem) = rest
+            dsk_ref = drs_ref = None
+        elif dsk_in:
+            (dsk_ref, drs_ref, drb_ref, dk_ref, arena, actsl, xsl, xcat,
+             asem, xsem) = rest
+            dskrs_ref = None
+        else:
+            (drs_ref, drb_ref, dk_ref, arena, actsl, xsl, xcat,
+             asem, xsem) = rest
+            dsk_ref = dskrs_ref = None
+        i = pl.program_id(0)
+        it = n_tiles - 1 - i          # reverse sweep
+        t0 = it * Tt
+
+        @pl.when(i == 0)
+        def _init():
+            arena[...] = jnp.zeros_like(arena)
+            if dskrs_ref is not None:
+                dskrs_ref[...] = jnp.zeros_like(dskrs_ref)
+            else:
+                if dsk_in:
+                    dsk_ref[...] = jnp.zeros_like(dsk_ref)
+                drs_ref[...] = jnp.zeros_like(drs_ref)
+            drb_ref[...] = jnp.zeros_like(drb_ref)
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+
+        def act_dma(slot, ll):
+            return pltpu.make_async_copy(
+                act_hbm.at[g0 + ll, :, pl.ds(t0, Tt), :],
+                actsl.at[slot], asem.at[slot])
+
+        def x_dma(slot, ll, j):
+            # the time dim of xin is sublane-tiled by 8, so a dynamic DMA
+            # offset must be 8-divisible: t0 and PH are, but the tap
+            # shift o isn't for d < 8.  The residue r = (PH - o) % 8 is
+            # STATIC per (layer, tap): read an 8-aligned Tt+8-row window
+            # and consume the [r : r+Tt] subslice below.  Window bounds
+            # never overrun [0, T+PH): o + r >= 8 whenever r > 0.
+            o = (K - 1 - j) * dils[g0 + ll]
+            r = (PH - o) % 8
+            if r == 0:
+                return pltpu.make_async_copy(
+                    xin_hbm.at[g0 + ll, :, pl.ds(t0 + PH - o, Tt), :],
+                    xsl.at[slot, j, :, 0:Tt, :], xsem.at[slot, j])
+            return pltpu.make_async_copy(
+                xin_hbm.at[g0 + ll, :, pl.ds(t0 + PH - o - r, Tt + 8), :],
+                xsl.at[slot, j], xsem.at[slot, j])
+
+        act_dma((Lg - 1) % 2, Lg - 1).start()
+        for j in range(K):
+            x_dma((Lg - 1) % 2, Lg - 1, j).start()
+        if Lg >= 2:
+            act_dma((Lg - 2) % 2, Lg - 2).start()
+            for j in range(K):
+                x_dma((Lg - 2) % 2, Lg - 2, j).start()
+
+        dskip16 = dskip_ref[...]
+        dskip2 = dskip16.reshape(B * Tt, S)
+        xcat[:, :, R:] = dskip16
+        if first:
+            dX = jnp.zeros((B, Tt, R), f32)
+        else:
+            dX = dxin_ref[...].astype(f32)
+        one = jnp.asarray(1.0, cdtype)
+        dn = (((0,), (0,)), ((), ()))    # contract over B*Tt rows
+
+        for ll in reversed(range(Lg)):
+            d = dils[g0 + ll]
+            Hl = (K - 1) * d
+            roff = offs[ll]
+            slot = ll % 2
+            act_dma(slot, ll).wait()
+            f16 = actsl[slot, :, :, :D]
+            g16 = actsl[slot, :, :, D:]
+            gated = f16 * g16
+            if gate_precomp:
+                if tanh_first:
+                    Ga = g16 * (one - f16 * f16)
+                    Gb = gated * (one - g16)
+                else:
+                    Ga = gated * (one - f16)
+                    Gb = f16 * (one - g16 * g16)
+            if ll >= 2:
+                act_dma(slot, ll - 2).start()
+
+            dX16 = dX.astype(cdtype)
+            xcat[:, :, :R] = dX16
+            dg = jnp.dot(xcat[...].reshape(B * Tt, R + S), rs_cat[ll],
+                         preferred_element_type=f32)
+            dg16 = dg.astype(cdtype).reshape(B, Tt, D)
+            if gate_precomp:
+                da = dg16 * Ga
+                db = dg16 * Gb
+            elif tanh_first:
+                # factored gate derivative (PERF.md #33): u = dg*g,
+                # v = u*f -> da = u - v*f = dg*g*(1-f^2),
+                # db = v - v*g = dg*f*g*(1-g) — 6 VPU ops vs 8; the
+                # serial MXU+VPU kernel pays every VPU op as wall time
+                u = dg16 * g16
+                v = u * f16
+                da = u - v * f16
+                db = v - v * g16
+            else:
+                # sigmoid_first: da = dg*g*f*(1-f), db = dg*f*(1-g^2)
+                v = dg16 * g16 * f16
+                w = dg16 * f16
+                da = v - v * f16
+                db = w - (w * g16) * g16
+
+            # ---- weight-grad accumulators (f32, revisited VMEM blocks)
+            g2 = gated.reshape(B * Tt, D)
+            if dskrs_ref is not None:
+                # one [B*Tt,D]^T x [B*Tt, R+S] dot: columns [:R] are drs
+                # (against dX16, already in xcat), [R:] are dsk (against
+                # the tile-constant dskip half) — bit-identical to the
+                # separate dots, one MXU issue instead of two
+                dskrs_ref[ll, :, :] += jax.lax.dot_general(
+                    g2, xcat[...].reshape(B * Tt, R + S), dn,
+                    preferred_element_type=f32)
+            else:
+                if dsk_in:
+                    dsk_ref[ll, :, :] += jax.lax.dot_general(
+                        g2, dskip2, dn, preferred_element_type=f32)
+                drs_ref[ll, :, :] += jax.lax.dot_general(
+                    g2, dX16.reshape(B * Tt, R), dn,
+                    preferred_element_type=f32)
+            drb_ref[ll:ll + 1, :] = (drb_ref[ll:ll + 1, :]
+                                     + dX.sum(axis=(0, 1))[None, :])
+
+            dp2 = jnp.concatenate(
+                [da.reshape(B * Tt, D), db.reshape(B * Tt, D)], axis=1)
+            if mx_reduce:
+                # the per-frame condition-grad reduction as ONE tiny MXU
+                # dot against a constant 0/1 selector (rows (b,t), cols
+                # (f,b): 1 iff t in frame f of batch b) instead of 2*Ft
+                # full-tensor VPU slice-sums — the kernel is serial
+                # MXU+VPU (PERF.md #33: no cross-unit overlap), so VPU
+                # ops removed are wall time removed
+                dlc_ref[ll] = jax.lax.dot_general(
+                    sel_ref[...], dp2, dn,
+                    preferred_element_type=f32).reshape(Ft, B, D2)
+            else:
+                for fidx in range(Ft):
+                    sl = slice(fidx * FR, (fidx + 1) * FR)
+                    dlc_ref[ll, fidx, :, :D] = \
+                        da[:, sl, :].astype(f32).sum(1)
+                    dlc_ref[ll, fidx, :, D:] = \
+                        db[:, sl, :].astype(f32).sum(1)
+
+            # ---- dW taps against the prefetched x tap tiles: dpre is
+            # LIVE (never streamed to HBM) — the core of the fusion
+            for j in range(K):
+                x_dma(slot, ll, j).wait()
+            xs = []
+            for j in range(K):
+                r = (PH - (K - 1 - j) * d) % 8
+                xs.append(xsl[slot, j, :, r:r + Tt, :].reshape(B * Tt, R))
+            xs_cat = jnp.concatenate(xs, axis=1)
+            if ll >= 2:
+                for j in range(K):
+                    x_dma(slot, ll - 2, j).start()
+            dk3 = jax.lax.dot_general(xs_cat, dp2, dn,
+                                      preferred_element_type=f32)
+            for j in range(K):
+                dk_ref[ll, j, :, :] += dk3[j * R:(j + 1) * R, :]
+
+            # ---- dX taps: identical arena scheme to _make_bwd_kernel
+            c_all = jnp.dot(dp2, kcat[ll], preferred_element_type=f32)
+            if modes[ll] == "ring":
+                nc = Hl // Tt
+                ci = jnp.remainder(it, nc)
+                pend = arena[:, pl.ds(roff + ci * Tt, Tt), :]
+                dX = dX + pend.astype(f32)
+            else:
+                pend = arena[:, roff + _round_up(Hl, 16) - Hl:
+                             roff + _round_up(Hl, 16), :]
+                dX = dX + jnp.pad(pend.astype(f32),
+                                  ((0, 0), (Tt - Hl, 0), (0, 0)))
+            first_spill = True
+            for j in range(K):
+                o = (K - 1 - j) * d
+                c = c_all[:, j * R:(j + 1) * R].reshape(B, Tt, R)
+                if o == 0:
+                    dX = dX + c
+                elif modes[ll] == "ring":
+                    cj = jnp.remainder(it - o // Tt, nc)
+                    ds = pl.ds(roff + cj * Tt, Tt)
+                    if first_spill:   # the chunk consumed above: SET
+                        arena[:, ds, :] = c.astype(cdtype)
+                    else:
+                        old = arena[:, ds, :]
+                        arena[:, ds, :] = (old.astype(f32)
+                                           + c).astype(cdtype)
+                    first_spill = False
+                else:
+                    szr = _round_up(Hl, 16)
+                    m_in = Tt - o        # rows landing inside the tile
+                    if m_in > 0:
+                        dX = dX + jnp.pad(c[:, o:, :],
+                                          ((0, 0), (0, o), (0, 0)))
+                    sp = jnp.pad(c[:, :o, :],
+                                 ((0, 0), (szr - o, 0), (0, 0)))
+                    if first_spill:
+                        arena[:, roff:roff + szr, :] = sp.astype(cdtype)
+                    else:
+                        reg = arena[:, roff:roff + szr, :]
+                        arena[:, roff:roff + szr, :] = (
+                            reg.astype(f32) + sp).astype(cdtype)
+                    first_spill = False
+
+            if ll == 0:
+                dxout_ref[...] = dX.astype(cdtype)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),               # kcat_g
+        pl.BlockSpec(memory_space=pltpu.VMEM),               # rs_cat_g
+    ]
+    if mx_reduce:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # sel
+    in_specs.append(pl.BlockSpec((B, Tt, S),
+                                 lambda i: (0, n_tiles - 1 - i, 0)))
+    if not first:
+        in_specs.append(pl.BlockSpec((B, Tt, R),
+                                     lambda i: (0, n_tiles - 1 - i, 0)))
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.ANY),                # act
+        pl.BlockSpec(memory_space=pltpu.ANY),                # xin (padded)
+    ]
+    out_specs = [
+        pl.BlockSpec((B, Tt, R),
+                     lambda i: (0, n_tiles - 1 - i, 0)),     # dxout
+        pl.BlockSpec((Lg, Ft, B, D2),
+                     lambda i: (0, n_tiles - 1 - i, 0, 0)),  # dlc
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, T, R), cdtype),
+        jax.ShapeDtypeStruct((Lg, F, B, D2), jnp.float32),
+    ]
+    if dsk_in and mx_reduce:
+        out_specs.append(pl.BlockSpec((Lg, D, R + S),
+                                      lambda i: (0, 0, 0)))  # drs|dsk
+        out_shape.append(jax.ShapeDtypeStruct((Lg, D, R + S),
+                                              jnp.float32))
+    else:
+        if dsk_in:
+            out_specs.append(pl.BlockSpec((Lg, D, S),
+                                          lambda i: (0, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((Lg, D, S),
+                                                  jnp.float32))
+        out_specs.append(pl.BlockSpec((Lg, D, R),
+                                      lambda i: (0, 0, 0)))  # drs
+        out_shape.append(jax.ShapeDtypeStruct((Lg, D, R), jnp.float32))
+    out_specs += [
+        pl.BlockSpec((Lg, R), lambda i: (0, 0)),             # drb
+        pl.BlockSpec((Lg, K, R, D2), lambda i: (0, 0, 0, 0)),  # dk
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((Lg, R), jnp.float32),
+        jax.ShapeDtypeStruct((Lg, K, R, D2), jnp.float32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((B, AR, R), cdtype),          # spill arena
+            pltpu.VMEM((2, B, Tt, D2), cdtype),      # act slots
+            # +8 rows: unaligned taps read an 8-aligned window (x_dma)
+            pltpu.VMEM((2, K, B, Tt + 8, R), cdtype),  # x tap slots
+            pltpu.VMEM((B, Tt, R + S), cdtype),      # [dX | dskip] concat
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, K)),
+        ],
+    )
+
+    def sweep_call(kcat_g, rs_cat_g, dskip16, dxin, act, xin):
+        operands = [kcat_g, rs_cat_g]
+        if mx_reduce:
+            # constant frame selector, pre-transposed for the
+            # row-contraction dot: rows (b, t), cols (f, b)
+            tcol = jnp.arange(B * Tt)
+            q = jnp.arange(Ft * B)
+            cb, ct = tcol // Tt, tcol % Tt
+            cf = ct // FR
+            sel = jnp.logical_and(cb[:, None] == (q % B)[None, :],
+                                  cf[:, None] == (q // B)[None, :])
+            operands.append(sel.astype(cdtype))
+        operands.append(dskip16)
+        if not first:
+            operands.append(dxin)
+        operands += [act, xin]
+        outs = pl.pallas_call(
+            body,
+            grid_spec=grid_spec,
+            out_shape=tuple(out_shape),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=int(_BWD_FUSED_BUDGET_MB * 2 ** 20) +
+                8 * 2 ** 20),
+            interpret=interpret,
+        )(*operands)
+        if dsk_in and mx_reduce:
+            dxout, dlc, dskrs, drb, dk = outs
+            drs, dsk = dskrs[:, :, :R], dskrs[:, :, R:]
+        elif dsk_in:
+            dxout, dlc, dsk, drs, drb, dk = outs
+        else:
+            dxout, dlc, drs, drb, dk = outs
+            dsk = None
+        return dxout, dlc, dsk, drs, drb, dk
+
+    return sweep_call
+
+
 def _plan(L, K, R, D, S, dils, B, T, FR, itemsize, Ft_cap=64):
     """Choose the time-tile size and lay out the history arena.
 
@@ -646,14 +1117,21 @@ def fused_stack_eligible(cfg, B, T, t_cond, compute_dtype, has_lc, has_gc,
         return False
     itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
     dils = tuple(cfg.dilation_rates)
-    # BOTH plans must fit: fused forward + XLA custom backward measures
-    # SLOWER than the pure XLA path (59.7 vs 55.5 ms, PERF.md #22), so
-    # a config whose backward spill arena outgrows VMEM (e.g. large B)
-    # must take the XLA engine entirely
-    return (_plan(cfg.num_layers, K, R, D, S, dils, B, T, FR, itemsize)
-            is not None
-            and _plan_bwd(cfg.num_layers, K, R, D, S, dils, B, T, FR,
-                          itemsize, _FORCE_DSK_OUT) is not None)
+    # forward AND a backward plan must fit: fused forward + XLA custom
+    # backward measures SLOWER than the pure XLA path (59.7 vs 55.5 ms,
+    # PERF.md #22), so a config with no kernel backward must take the
+    # XLA engine entirely.  Either backward qualifies: the fused
+    # chain+dW sweeps (#33) shrink the resident pieces by the group
+    # count, so they admit shapes (larger B) the two-kernel chain's
+    # whole-L arena refuses.
+    if _plan(cfg.num_layers, K, R, D, S, dils, B, T, FR,
+             itemsize) is None:
+        return False
+    return (_plan_bwd(cfg.num_layers, K, R, D, S, dils, B, T, FR,
+                      itemsize, _FORCE_DSK_OUT) is not None
+            or _plan_bwd_fused_dk(cfg.num_layers, K, R, D, S, dils, B,
+                                  T, FR, itemsize,
+                                  _FORCE_DSK_OUT) is not None)
 
 
 @functools.lru_cache(maxsize=16)
@@ -684,6 +1162,11 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
     F = T // FR
     tanh_first = gate_order == "tanh_first"
 
+    # the saved layer-input stack is PADDED with PH zero rows in front so
+    # the backward's dW tap reads x[t - o] are plain DMAs (no edge
+    # masking) — the pad head IS conv1d_v2's causal zero pad
+    PH = _xpad_rows(K, dils)
+
     def kernel_body(tapw, srw_cat, res_b, lc_ref, x0_ref,
                     skip_out, act_out, xst_out,
                     hist, xa, xb, pre, skipacc, actsl, actsem, xsem,
@@ -694,6 +1177,16 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         @pl.when(i == 0)
         def _zero_hist():
             hist[...] = jnp.zeros_like(hist)
+            # zero the xstack pad head from the just-zeroed history arena
+            # (HIST >= PH always: the arena holds sum of rounded (K-1)*d
+            # regions, PH is the largest one).  Waited immediately: layer
+            # 0's history update below rewrites hist rows this DMA reads.
+            for l in range(L):
+                zdma = pltpu.make_async_copy(
+                    hist.at[:, 0:PH, :], xst_out.at[l, :, 0:PH, :],
+                    x0sem)
+                zdma.start()
+                zdma.wait()
 
         def m2(v, ch):
             return v.reshape(B * v.shape[1], ch)
@@ -711,11 +1204,11 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             # buf holds layer j's OUTPUT = the input of layer j+1
             return pltpu.make_async_copy(
                 bufs[buf_idx],
-                xst_out.at[j + 1, :, pl.ds(t0, Tt), :],
+                xst_out.at[j + 1, :, pl.ds(t0 + PH, Tt), :],
                 xsem.at[buf_idx])
 
         x0_dma = pltpu.make_async_copy(
-            x0_ref, xst_out.at[0, :, pl.ds(t0, Tt), :], x0sem)
+            x0_ref, xst_out.at[0, :, pl.ds(t0 + PH, Tt), :], x0sem)
         x0_dma.start()
 
         xcur_ref = x0_ref
@@ -879,7 +1372,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             out_shape=(
                 jax.ShapeDtypeStruct((B, T, S), cdtype),
                 jax.ShapeDtypeStruct((L, B, T, D2), cdtype),
-                jax.ShapeDtypeStruct((L, B, T, R), cdtype),
+                jax.ShapeDtypeStruct((L, B, T + PH, R), cdtype),
             ),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
@@ -915,11 +1408,58 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         (act, xpad, k16, skipw16, resw16, x016) = res
         dskip16 = dskip.astype(cdtype)
 
+        # FUSED chain+dW sweeps (PERF.md #33): dpre stays in VMEM; dk
+        # accumulates inside the reverse chain; layer groups keep the
+        # resident pieces under budget.  Falls back to the two-kernel
+        # path (chain streaming dpre + separate dW pass) when no group
+        # plan fits or the A/B hook disables it.
+        plan_f = None
+        if _BWD_FORM == "auto" and _BWD_FUSED_DK == "auto":
+            plan_f = _plan_bwd_fused_dk(L, K, R, D, S, dils, B, T, FR,
+                                        itemsize, _FORCE_DSK_OUT,
+                                        _FORCE_FUSED_LG)
+        if plan_f is not None:
+            kcat = k16.transpose(0, 3, 1, 2).reshape(L, D2, K * R)
+            rs_cat = jnp.concatenate(
+                [resw16.transpose(0, 2, 1), skipw16.transpose(0, 2, 1)],
+                axis=1)                            # [L, R+S, D]
+            Lg = plan_f["Lg"]
+            ng = L // Lg
+            parts = []
+            dxs = None
+            for g in reversed(range(ng)):
+                offs_g, modes_g, AR_g = plan_f["layouts"][g]
+                call = _make_bwd_sweep_kernel(
+                    L, K, R, D, S, dils, B, T, FR, gate_order,
+                    cdtype_name, interpret, g * Lg, Lg, plan_f["Tt"],
+                    plan_f["Ft"], offs_g, modes_g, AR_g,
+                    plan_f["dsk_in"], g == ng - 1, PH, _GATE_PRECOMP)
+                dxs, dlc_g, dsk_g, drs_g, drb_g, dk_g = call(
+                    kcat[g * Lg:(g + 1) * Lg],
+                    rs_cat[g * Lg:(g + 1) * Lg], dskip16, dxs, act, xpad)
+                parts.append((dlc_g, dsk_g, drs_g, drb_g, dk_g))
+            parts.reverse()          # back to layer order
+            dx0 = dxs
+            dlc = jnp.concatenate([p[0] for p in parts], axis=0)
+            drs = jnp.concatenate([p[2] for p in parts], axis=0)
+            drb = jnp.concatenate([p[3] for p in parts], axis=0)
+            dk = jnp.concatenate([p[4] for p in parts], axis=0)
+            if plan_f["dsk_in"]:
+                dsk = jnp.concatenate([p[1] for p in parts], axis=0)
+            else:
+                gated_all = act[:, :, :, :D] * act[:, :, :, D:]
+                dsk = jnp.einsum("lbtd,bts->lds", gated_all, dskip16,
+                                 preferred_element_type=jnp.float32)
+            return (dk.astype(cdtype), dsk.astype(cdtype),
+                    drs.astype(cdtype), drb.astype(cdtype), dlc,
+                    dx0.astype(cdtype))
+
         bwd_call = None
         if _BWD_FORM == "auto":
             bwd_call = _make_bwd_kernel(L, K, R, D, S, dils, B, T, FR,
                                         gate_order, cdtype_name, interpret,
-                                        _FORCE_DSK_OUT)
+                                        _FORCE_DSK_OUT,
+                                        gate_precomp=_GATE_PRECOMP)
         if bwd_call is not None:
             # fused Pallas backward: the whole serial chain (dgated, gate
             # derivative, dX tap propagation, dsk/drs/drb/dlc) runs per
@@ -944,14 +1484,14 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             # layer inputs when the [L,K,R,2D] f32 accumulator fits VMEM
             # (PERF.md #23), else per-tap slice einsums
             dk_call = _make_dk_kernel(L, K, R, D, S, dils, B, T,
-                                      cdtype_name, interpret)
+                                      cdtype_name, interpret, PH)
             if dk_call is not None:
                 dk = dk_call(dpre_all, xpad)
             else:
                 dks = []
                 for l in range(L):
                     d = dils[l]
-                    xin = x016 if l == 0 else xpad[l]
+                    xin = x016 if l == 0 else xpad[l, :, PH:, :]
                     taps = []
                     for j in range(K):
                         o = (K - 1 - j) * d
@@ -972,7 +1512,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         dX = jnp.zeros((B, T, R), cdtype)
         for l in reversed(range(L)):
             d = dils[l]
-            xin = x016 if l == 0 else xpad[l]
+            xin = x016 if l == 0 else xpad[l, :, PH:, :]
             f16 = act[l, :, :, :D]
             g16 = act[l, :, :, D:]
             gated = f16 * g16
