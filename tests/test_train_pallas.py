@@ -224,6 +224,22 @@ def test_fused_dk_gate_precomp(key, monkeypatch):
 
 
 @pytest.mark.slow
+def test_fwd_gate_fold_hook(key, monkeypatch):
+    """The forward gate-fold A/B hook (condition add fused into the
+    transcendental pass; measured +0.2 ms slower so default-off,
+    PERF.md #33) must stay numerically exact — it changes the f32
+    summation order to conv-then-condition, which matches XLA."""
+    monkeypatch.setattr(train_pallas, "_FWD_GATE_FOLD", True)
+    train_pallas._make_fused_stack.cache_clear()
+    cfg = tiny_cfg()
+    params, x, lc = make_inputs(cfg, B=2, T=128, t_cond=16, seed=23)
+    ref = np.asarray(wavenet_logits(params, cfg, x, lc, engine="xla"))
+    got = np.asarray(wavenet_logits(params, cfg, x, lc, engine="pallas"))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+    train_pallas._make_fused_stack.cache_clear()
+
+
+@pytest.mark.slow
 def test_two_kernel_backward_fallback(key, monkeypatch):
     """With the fused chain+dW sweeps disabled, the two-kernel path
     (chain streaming dpre to HBM + the separate dW pass over the padded

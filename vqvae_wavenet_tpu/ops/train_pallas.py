@@ -90,8 +90,17 @@ _FORCE_FUSED_LG = None
 # Gb = .../db from the SAVED activations right after the act DMA lands,
 # so the serial dgated -> dpre -> c_all critical path carries two
 # multiplies instead of the whole ~8-op elementwise chain.  A/B hook;
-# passed into the cached builders explicitly.
+# passed into the cached builders explicitly.  MEASURED NEUTRAL
+# (PERF.md #33: Mosaic never overlaps the units, so reordering is free
+# but useless); kept off.
 _GATE_PRECOMP = False
+
+# Forward kernel: fuse the per-frame condition+bias add into the
+# transcendental gate pass instead of a separate full-tile f32 RMW over
+# pre.  MEASURED SLOWER (+0.2 ms on the shipped config, alternating
+# same-session A/B: the Ft per-frame slice ops cost more than the saved
+# full-tile pass) — kept as an A/B hook, default off.
+_FWD_GATE_FOLD = False
 
 
 def _xpad_rows(K: int, dils) -> int:
@@ -1089,6 +1098,7 @@ def _plan(L, K, R, D, S, dils, B, T, FR, itemsize, Ft_cap=64):
                 + B * Tt * D2 * 4                # pre (f32)
                 + B * Tt * S * 4                 # skip accumulator (f32)
                 + 2 * B * Tt * D2 * itemsize     # act DMA slots
+                + B * Tt * D * itemsize          # gated buffer
                 + 2 * B * Tt * R * itemsize      # x0 input pipeline
                 + 2 * L * B * Ft * D2 * 4        # lc_enc input pipeline
                 + 2 * B * Tt * S * itemsize)     # skip output pipeline
@@ -1136,7 +1146,7 @@ def fused_stack_eligible(cfg, B, T, t_cond, compute_dtype, has_lc, has_gc,
 
 @functools.lru_cache(maxsize=16)
 def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
-                      cdtype_name, interpret):
+                      cdtype_name, interpret, gate_fold=True):
     """Build the custom-VJP fused stack for one static configuration.
 
     Primal signature (shapes; dtypes follow the caller's params):
@@ -1169,8 +1179,8 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
 
     def kernel_body(tapw, srw_cat, res_b, lc_ref, x0_ref,
                     skip_out, act_out, xst_out,
-                    hist, xa, xb, pre, skipacc, actsl, actsem, xsem,
-                    x0sem):
+                    hist, xa, xb, pre, skipacc, actsl, gbuf, actsem,
+                    xsem, x0sem):
         i = pl.program_id(0)
         t0 = i * Tt
 
@@ -1179,12 +1189,18 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             hist[...] = jnp.zeros_like(hist)
             # zero the xstack pad head from the just-zeroed history arena
             # (HIST >= PH always: the arena holds sum of rounded (K-1)*d
-            # regions, PH is the largest one).  Waited immediately: layer
-            # 0's history update below rewrites hist rows this DMA reads.
+            # regions, PH is the largest one).  Only the rows a backward
+            # tap can actually reach need zeroing: layer l's deepest read
+            # starts at PH - (K-1)*d_l - 7 (the 8-aligned window skew),
+            # so zero [PH - zl, PH) per layer — ~5x fewer rows than the
+            # full head on the shipped schedule.  Waited immediately:
+            # layer 0's history update below rewrites hist rows the DMA
+            # reads.
             for l in range(L):
+                zl = min(PH, _round_up((K - 1) * dils[l] + 8, 8))
                 zdma = pltpu.make_async_copy(
-                    hist.at[:, 0:PH, :], xst_out.at[l, :, 0:PH, :],
-                    x0sem)
+                    hist.at[:, 0:zl, :],
+                    xst_out.at[l, :, PH - zl:PH, :], x0sem)
                 zdma.start()
                 zdma.wait()
 
@@ -1231,11 +1247,12 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             acc = jnp.dot(m2(xcur_ref[:, :, :], R), tapw[l, (K - 1) * R:K * R, :],
                           preferred_element_type=jnp.float32)
             pre[...] = acc.reshape(B, Tt, D2)
-            # condition + bias, broadcast per FR-sample frame
-            for f in range(Ft):
-                pre[:, f * FR:(f + 1) * FR, :] = (
-                    pre[:, f * FR:(f + 1) * FR, :]
-                    + lc_ref[l, f, :, :][:, None, :])
+            if not gate_fold:
+                # condition + bias, broadcast per FR-sample frame
+                for f in range(Ft):
+                    pre[:, f * FR:(f + 1) * FR, :] = (
+                        pre[:, f * FR:(f + 1) * FR, :]
+                        + lc_ref[l, f, :, :][:, None, :])
             for j in range(K - 1):
                 o = (K - 1 - j) * d
                 w = tapw[l, j * R:(j + 1) * R, :]
@@ -1275,28 +1292,49 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                 hist[:, roff + nshift:roff + Hl, :] = xcur_ref[:, :, :]
 
             # ---- gate (wavenet_ops.py:112-113 / Magenta config.py:345-348)
-            a = pre[:, :, :D]
-            b = pre[:, :, D:]
-            if tanh_first:
-                f16 = jnp.tanh(a).astype(cdtype)
-                g16 = jax.nn.sigmoid(b).astype(cdtype)
-            else:
-                f16 = jax.nn.sigmoid(a).astype(cdtype)
-                g16 = jnp.tanh(b).astype(cdtype)
+            # The per-frame condition+bias add is FUSED into the
+            # transcendental pass (PERF.md #33: the kernel is a serial
+            # MXU+VPU stream, so the former full-tile f32 RMW over pre
+            # was pure wall time) — this also matches the XLA path's
+            # conv-then-condition summation order exactly.
             slot = l % 2
             if l >= 2:
                 act_dma(slot, l - 2).wait()
-            actsl[slot, :, :, :D] = f16
-            actsl[slot, :, :, D:] = g16
+            if gate_fold:
+                for f in range(Ft):
+                    fs = slice(f * FR, (f + 1) * FR)
+                    seg = pre[:, fs, :] + lc_ref[l, f, :, :][:, None, :]
+                    if tanh_first:
+                        fseg = jnp.tanh(seg[:, :, :D]).astype(cdtype)
+                        gseg = jax.nn.sigmoid(
+                            seg[:, :, D:]).astype(cdtype)
+                    else:
+                        fseg = jax.nn.sigmoid(
+                            seg[:, :, :D]).astype(cdtype)
+                        gseg = jnp.tanh(seg[:, :, D:]).astype(cdtype)
+                    actsl[slot, :, fs, :D] = fseg
+                    actsl[slot, :, fs, D:] = gseg
+                    gbuf[:, fs, :] = fseg * gseg
+            else:
+                a = pre[:, :, :D]
+                b = pre[:, :, D:]
+                if tanh_first:
+                    f16 = jnp.tanh(a).astype(cdtype)
+                    g16 = jax.nn.sigmoid(b).astype(cdtype)
+                else:
+                    f16 = jax.nn.sigmoid(a).astype(cdtype)
+                    g16 = jnp.tanh(b).astype(cdtype)
+                actsl[slot, :, :, :D] = f16
+                actsl[slot, :, :, D:] = g16
+                gbuf[:, :, :] = f16 * g16
             act_dma(slot, l).start()
             last_act[slot] = (slot, l)
-            gated = f16 * g16
 
             # ---- skip + residual 1x1s as ONE [B*Tt, D] x [D, S+R] dot
             # (lane-concat fused dot, PERF #12/#25); each output column
             # reads exactly one source kernel, so accumulation is
             # bit-identical to the separate dots
-            skrs = jnp.dot(m2(gated, D), srw_cat[l],
+            skrs = jnp.dot(m2(gbuf[:, :, :], D), srw_cat[l],
                            preferred_element_type=jnp.float32)
             sk = skrs[:, :S]
             if l == 0:
@@ -1350,6 +1388,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             pltpu.VMEM((B, Tt, D2), jnp.float32),   # pre
             pltpu.VMEM((B, Tt, S), jnp.float32),    # skip accumulator
             pltpu.VMEM((2, B, Tt, D2), cdtype),     # act DMA slots
+            pltpu.VMEM((B, Tt, D), cdtype),         # gated (gbuf)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,                # x0 save
@@ -1634,7 +1673,7 @@ def fused_residual_stack(lp, cfg, x0, local_condition,
     fused = _make_fused_stack(
         cfg.num_layers, cfg.kernel_size, cfg.residual_filters,
         cfg.dilation_filters, cfg.skip_filters, tuple(cfg.dilation_rates),
-        B, T, FR, gate_order, cdtype_name, interpret)
+        B, T, FR, gate_order, cdtype_name, interpret, _FWD_GATE_FOLD)
     skip_sum = fused(lp["kernel"], lp["skip_kernel"], lp["res_kernel"],
                      lp["res_bias"], lc_encb, x0)
     return skip_sum.astype(jnp.float32) \
