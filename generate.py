@@ -43,6 +43,11 @@ def parse_args(argv=None):
                         choices=["auto", "xla", "pallas"],
                         help="generation engine: fused Pallas kernel vs XLA "
                              "scan ('auto' picks Pallas when eligible)")
+    parser.add_argument("-data_shards", default=1, type=int,
+                        dest="data_shards",
+                        help="shard the speaker batch over this many chips "
+                             "('data' mesh axis, parallel/genshard.py); the "
+                             "speaker count must divide evenly")
     return parser.parse_args(argv)
 
 
@@ -144,13 +149,23 @@ def main(argv=None):
         audio = magenta_generate(params, x, y, length=padded,
                                  key=jax.random.PRNGKey(args.seed),
                                  mode=args.mode, compute_dtype=compute_dtype,
-                                 engine=args.engine, verbose=True)
+                                 engine=args.engine, verbose=True,
+                                 data_shards=args.data_shards)
     else:
         lc, _codes = vqvae_encode(params, state, cfg, x, y)
-        audio = generate(params["decoder"], cfg.wavenet, lc, length=padded,
-                         key=jax.random.PRNGKey(args.seed), mode=args.mode,
-                         compute_dtype=compute_dtype, engine=args.engine,
-                         verbose=True)
+        if args.data_shards > 1:
+            from vqvae_wavenet_tpu.parallel.genshard import generate_sharded
+            audio = generate_sharded(
+                params["decoder"], cfg.wavenet, lc, length=padded,
+                key=jax.random.PRNGKey(args.seed), mode=args.mode,
+                compute_dtype=compute_dtype, engine=args.engine,
+                num_shards=args.data_shards, verbose=True)
+        else:
+            audio = generate(params["decoder"], cfg.wavenet, lc,
+                             length=padded,
+                             key=jax.random.PRNGKey(args.seed),
+                             mode=args.mode, compute_dtype=compute_dtype,
+                             engine=args.engine, verbose=True)
     audio = np.asarray(audio)[:, :length]
     dt = time.time() - t0
     print(f"[generate] {batch_size}x{padded} samples in {dt:.2f}s "

@@ -205,3 +205,32 @@ def test_magenta_family_cli(corpus, monkeypatch):
     sr, out = wavfile.read(str(save / "2_p226.wav"))
     assert sr == 16000 and len(out) == 2048
     assert np.all(np.abs(out) <= 1.0)
+
+
+def test_generate_data_shards_cli(corpus):
+    """-data_shards 2: the speaker batch sharded over two virtual devices
+    (parallel/genshard.py).  Greedy decoding is deterministic, so the
+    sharded CLI output must equal the single-device CLI output."""
+    import train as train_cli
+    import generate as generate_cli
+
+    save = corpus / "shard_model"
+    train_cli.main([
+        "-dataset", "VCTK", "-length", "1024", "-batch", "2", "-step", "1",
+        "-interval", "5", "-save", str(save / "weights"),
+        "-params", str(corpus / "tiny_model.json"),
+        "-data", str(corpus / "data") + "/", "-ckpt_interval", "100"])
+
+    wav_in = str(corpus / "data" / "VCTK-Corpus" / "wav48" / "p225"
+                 / "p225_000.wav")
+    common = ["-restore", str(save / "weights-1"), "-audio", wav_in,
+              "-speakers", "p225", "p226", "-mode", "greedy",
+              "-params", str(corpus / "tiny_model.json"),
+              "-data", str(corpus / "data") + "/"]
+    generate_cli.main(common)
+    single = {s: wavfile.read(str(save / f"1_{s}.wav"))[1]
+              for s in ("p225", "p226")}
+    generate_cli.main(common + ["-data_shards", "2"])
+    for s in ("p225", "p226"):
+        sharded = wavfile.read(str(save / f"1_{s}.wav"))[1]
+        np.testing.assert_array_equal(sharded, single[s])

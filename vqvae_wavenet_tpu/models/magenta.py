@@ -217,7 +217,7 @@ def make_magenta_optimizer(schedule: dict = None):
 def magenta_generate(params, x_cond, gc_one_hot, *, length: int = None,
                      key=None, mode: str = "sample",
                      compute_dtype=jnp.float32, engine: str = "auto",
-                     verbose: bool = False):
+                     verbose: bool = False, data_shards: int = 1):
     """End-to-end Magenta-variant generation (the reference's
     FastGenerationConfig + Magenta/generate.py flow): encode the
     conditioning wav once, then run the fast WaveNet with per-layer
@@ -234,6 +234,13 @@ def magenta_generate(params, x_cond, gc_one_hot, *, length: int = None,
     encoding = q["e_k"]                 # config.py:278: decoder sees e_k
     gc_idx = jnp.argmax(gc_one_hot, axis=-1)
     gc = jnp.take(params["speaker_emb"], gc_idx, axis=0)  # [B, 1, 64]
+    if data_shards > 1:
+        from vqvae_wavenet_tpu.parallel.genshard import generate_sharded
+        return generate_sharded(
+            params["decoder"], cfg, encoding, length=length, key=key,
+            mode=mode, gate_order="sigmoid_first", global_condition=gc,
+            compute_dtype=compute_dtype, engine=engine,
+            num_shards=data_shards, verbose=verbose)
     return generate(params["decoder"], cfg, encoding, length=length,
                     key=key, mode=mode, gate_order="sigmoid_first",
                     global_condition=gc, compute_dtype=compute_dtype,
