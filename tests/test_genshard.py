@@ -86,6 +86,30 @@ def test_single_shard_delegates(key):
     np.testing.assert_array_equal(shard, single)
 
 
+def test_magenta_sharded_greedy_matches_single(key, monkeypatch):
+    """magenta_generate(data_shards=N): the Magenta family's per-layer
+    biased global conditioning (gate_order='sigmoid_first') rides the
+    same zero-collective batch sharding; greedy output must be
+    bit-identical to the unsharded call.  Preset shrunk for CPU speed —
+    the functions read the module knobs at call time."""
+    from vqvae_wavenet_tpu.models import magenta as mg
+    monkeypatch.setattr(mg, "NUM_LAYERS", 6)
+    monkeypatch.setattr(mg, "NUM_STAGES", 3)
+    monkeypatch.setattr(mg, "WIDTH", 16)
+    monkeypatch.setattr(mg, "SKIP_WIDTH", 16)
+    monkeypatch.setattr(mg, "AE_WIDTH", 16)
+    monkeypatch.setattr(mg, "AE_BOTTLENECK_WIDTH", 8)
+    monkeypatch.setattr(mg, "K_CODES", 16)
+    params = mg.init_magenta_params(key, num_speakers=4)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 128, 1),
+                           minval=-0.5, maxval=0.5)
+    gc = jax.nn.one_hot(jnp.arange(4) % 4, 4)[:, None, :]
+    single = np.asarray(mg.magenta_generate(params, x, gc, mode="greedy"))
+    shard = np.asarray(mg.magenta_generate(params, x, gc, mode="greedy",
+                                           data_shards=2))
+    np.testing.assert_array_equal(shard, single)
+
+
 @pytest.mark.slow
 def test_sharded_pallas_interpret_greedy(key, monkeypatch):
     """The fused Pallas kernel inside shard_map (interpret mode on CPU):
