@@ -80,10 +80,13 @@ def time_mesh(n):
     return Mesh(np.asarray(jax.devices()[:n]), ("time",))
 
 
-@pytest.mark.parametrize("n_shards,norm", [(2, "batch"), (4, "group")])
-def test_sp_loss_matches_single_device(key, n_shards, norm):
+@pytest.mark.parametrize("n_shards,norm,halo", [
+    (2, "batch", "layer"), (4, "group", "layer"), (4, "batch", "recompute")])
+def test_sp_loss_matches_single_device(key, n_shards, norm, halo):
     """time_sharded_loss == vqvae_forward: encoder halos + sync-norm +
-    decoder halo + psum'd losses reproduce the one-device computation."""
+    decoder halo + psum'd losses reproduce the one-device computation —
+    for BOTH decoder halo schemes (per-layer exchange, the round-4
+    default, and the receptive-field recompute path)."""
     from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
     from vqvae_wavenet_tpu.parallel.timeshard import time_sharded_loss
 
@@ -97,7 +100,8 @@ def test_sp_loss_matches_single_device(key, n_shards, norm):
 
     ref_loss, ref_aux = vqvae_forward(params, state, cfg, x, y, train=True)
     sp_loss, sp_aux = time_sharded_loss(params, state, cfg, x, y,
-                                        time_mesh(n_shards))
+                                        time_mesh(n_shards),
+                                        decoder_halo=halo)
     np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=2e-5)
     np.testing.assert_allclose(float(sp_aux["reconstruction_loss"]),
                                float(ref_aux["reconstruction_loss"]),
@@ -111,8 +115,11 @@ def test_sp_loss_matches_single_device(key, n_shards, norm):
                                    rtol=1e-5, atol=1e-7)
 
 
-def test_sp_gradients_match_single_device(key):
-    """Backward through the halo ppermutes must equal one-device grads."""
+@pytest.mark.parametrize("halo", ["layer", "recompute"])
+def test_sp_gradients_match_single_device(key, halo):
+    """Backward through the halo ppermutes must equal one-device grads —
+    both decoder halo schemes (the per-layer scheme differentiates ~31
+    ppermutes; the recompute scheme one RF-sized ppermute + pad mask)."""
     from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
     from vqvae_wavenet_tpu.parallel.timeshard import time_sharded_loss
 
@@ -128,7 +135,8 @@ def test_sp_gradients_match_single_device(key):
     g_ref = jax.grad(
         lambda p: vqvae_forward(p, state, cfg, x, y, train=True)[0])(params)
     g_sp = jax.grad(
-        lambda p: time_sharded_loss(p, state, cfg, x, y, mesh)[0])(params)
+        lambda p: time_sharded_loss(p, state, cfg, x, y, mesh,
+                                    decoder_halo=halo)[0])(params)
 
     flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
     flat_sp = dict(jax.tree_util.tree_leaves_with_path(g_sp))
@@ -154,7 +162,28 @@ def test_sp_multihop_halo_matches_single(key):
     ref = np.asarray(wavenet_logits(params, cfg, x, lc))
     mesh = make_mesh(num_data=8, num_model=1, devices=jax.devices()[:8])
     assert halo_sizes(cfg, ratio)[0] > T // 8  # actually multi-hop
-    got = np.asarray(time_sharded_logits(params, cfg, x, lc, mesh))
+    got = np.asarray(time_sharded_logits(params, cfg, x, lc, mesh,
+                                         decoder_halo="recompute"))
+    np.testing.assert_allclose(ref, got, rtol=1e-4, atol=1e-4)
+
+
+def test_sp_layerhalo_multihop_matches_single(key):
+    """Per-layer halo exchange when a single LAYER's halo exceeds the
+    shard length ((K-1)*d = 8 > 4-sample shards -> 2-hop _left_halo
+    inside _sharded_causal_conv)."""
+    cfg = tiny_cfg()
+    B, T, C = 1, 32, 5
+    ratio = 4
+    params = bump_biases(init_wavenet_params(key, cfg, lc_channels=C))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    lc = jax.random.normal(jax.random.PRNGKey(2), (B, T // ratio, C))
+
+    ref = np.asarray(wavenet_logits(params, cfg, x, lc))
+    mesh = make_mesh(num_data=8, num_model=1, devices=jax.devices()[:8])
+    assert (cfg.kernel_size - 1) * max(cfg.dilation_rates) > T // 8
+    got = np.asarray(time_sharded_logits(params, cfg, x, lc, mesh,
+                                         decoder_halo="layer"))
     np.testing.assert_allclose(ref, got, rtol=1e-4, atol=1e-4)
 
 

@@ -71,7 +71,8 @@ def _halo_pad_mask(halo: int, local_len: int, axis_name: str):
 
 def time_sharded_logits(params, cfg: WavenetConfig, x, local_condition,
                         mesh, axis_name: str = "data",
-                        gate_order: str = "tanh_first"):
+                        gate_order: str = "tanh_first",
+                        decoder_halo: str = "layer"):
     """Teacher-forced logits [B, T, Q] with T sharded over ``axis_name``.
 
     x: [B, T, 1]; local_condition: [B, T_cond, C].  Requires the per-shard
@@ -88,6 +89,10 @@ def time_sharded_logits(params, cfg: WavenetConfig, x, local_condition,
 
     def local_fn(params, x_l, lc_l):
         # x_l: [B, T/n, 1], lc_l: [B, T_cond/n, C]
+        if decoder_halo == "layer" and cfg.num_layers <= 64:
+            return time_sharded_wavenet_logits(params, cfg, x_l, lc_l,
+                                               axis_name,
+                                               gate_order=gate_order)
         x_halo = _left_halo(x_l, halo, axis_name)
         lc_halo = _left_halo(lc_l, halo_frames, axis_name)
         x_ext = jnp.concatenate([x_halo, x_l], axis=1)
@@ -232,6 +237,116 @@ def _sharded_causal_conv(x_l, kernel, bias, dilation: int, axis_name: str):
     return conv1d(ext, kernel, bias, padding="VALID", dilation=dilation)
 
 
+def time_sharded_wavenet_logits(params, cfg: WavenetConfig, x_l,
+                                local_condition, axis_name: str, *,
+                                global_condition=None,
+                                gate_order: str = "tanh_first"):
+    """The WaveNet decoder on a time shard via PER-LAYER halo exchange —
+    round 4's SP-efficiency redesign.
+
+    The original SP decoder (still available as decoder_halo='recompute')
+    pulls ONE receptive-field-sized halo (RF = 6,144 samples for the
+    shipped config) and recomputes it through all 30 layers: per-shard
+    FLOPs scale as (T/n + RF)/(T/n), i.e. +92% when each chip holds one
+    single-chip clip (T/n = 6656).  Here every causal conv instead pulls
+    exactly its own (K-1)*dilation left-context columns from the neighbor
+    — the total extra rows across the whole stack equal ONE receptive
+    field (6,169 rows spread over 31 convs ≈ 3% of a 6,656-sample shard's
+    row-layers) at the cost of one ppermute per conv (~31 small transfers
+    riding ICI, overlappable with the next layer's matmul).
+
+    Exactness needs no pad mask: each conv's operand columns are either
+    the left neighbor's true activations or — on shard 0 — the zeros a
+    single-device causal_conv1d left-pads with (ppermute edge shards
+    receive zeros), so biased layers see identical inputs everywhere,
+    unlike the recompute path whose halo positions required masking.
+
+    Mirrors wavenet_logits' unrolled path (models/wavenet.py:122-301)
+    including the bf16 fused-skip contraction (PERF.md #15); per-shard
+    numerics are the single-device values exactly (reduction order of the
+    convs aside).  Requires num_layers <= 64 (both shipped families).
+    """
+    from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
+    B, T, _ = x_l.shape
+    net = mu_law_encode(_sharded_shift_right(x_l, axis_name),
+                        cfg.quantization_channels)
+    compute_dtype = net.dtype
+    net = _sharded_causal_conv(net, params["preprocess"]["kernel"],
+                               params["preprocess"]["bias"], 1, axis_name)
+    skip = jnp.einsum("btc,cf->btf", net, params["skip_start"]["kernel"][0],
+                      preferred_element_type=jnp.float32)
+    skip = skip + params["skip_start"]["bias"]
+
+    D = cfg.dilation_filters
+    lp = params["layers"]
+    has_lc = "lc_kernel" in lp and local_condition is not None
+    has_gc = "gc_kernel" in lp and global_condition is not None
+    t_cond = local_condition.shape[1] if has_lc else T
+    reps = T // t_cond
+    fused_skip = compute_dtype == jnp.bfloat16 and cfg.num_layers <= 64
+    assert cfg.num_layers <= 64, "layer-halo SP mirrors the unrolled path"
+
+    gateds = []
+    for i, d in enumerate(cfg.dilation_rates):
+        p = jax.tree_util.tree_map(lambda v: v[i], lp)
+        pre = _sharded_causal_conv(net, p["kernel"], None, int(d),
+                                   axis_name)
+        # condition add + bias + gate in the frame-blocked view — the
+        # same fusion as wavenet_logits::apply_layer (PERF.md #18)
+        pre4 = pre.reshape(B, t_cond, reps, 2 * D) + p["bias"]
+        if has_lc:
+            enc = jnp.einsum("bsc,cf->bsf", local_condition, p["lc_kernel"],
+                             preferred_element_type=jnp.float32)
+            pre4 = pre4 + enc[:, :, None, :]
+        if has_gc:
+            genc = jnp.einsum("bsc,cf->bsf", global_condition,
+                              p["gc_kernel"],
+                              preferred_element_type=jnp.float32)
+            pre4 = pre4 + genc[:, :, None, :]
+            if "gc_bias" in p:
+                pre4 = pre4 + p["gc_bias"]
+        if fused_skip:
+            pre4 = pre4.astype(compute_dtype)
+        if gate_order == "tanh_first":
+            gated = jnp.tanh(pre4[..., :D]) * jax.nn.sigmoid(pre4[..., D:])
+        else:
+            gated = jax.nn.sigmoid(pre4[..., :D]) * jnp.tanh(pre4[..., D:])
+        gated = gated.reshape(B, T, D)
+        if fused_skip:
+            gateds.append(gated.astype(compute_dtype))
+        else:
+            skip = skip + jnp.einsum(
+                "btc,cf->btf", gated, p["skip_kernel"],
+                preferred_element_type=jnp.float32) + p["skip_bias"]
+        net = (net + jnp.einsum("btc,cf->btf", gated, p["res_kernel"],
+                                preferred_element_type=jnp.float32)
+               + p["res_bias"]).astype(compute_dtype)
+    if fused_skip:
+        gs = jnp.concatenate(gateds, axis=-1)            # [B, T_l, L*D]
+        wsk = lp["skip_kernel"].reshape(-1, cfg.skip_filters)
+        skip = skip + jnp.einsum(
+            "btc,cf->btf", gs, wsk.astype(gs.dtype),
+            preferred_element_type=jnp.float32) \
+            + jnp.sum(lp["skip_bias"].astype(jnp.float32), axis=0)
+
+    from vqvae_wavenet_tpu.ops.conv import add_condition
+    net = jax.nn.relu(skip).astype(compute_dtype)
+    pp1 = params["postprocess1"]
+    net = jnp.einsum("btc,cf->btf", net, pp1["kernel"][0],
+                     preferred_element_type=jnp.float32) + pp1["bias"]
+    if "lc_kernel" in pp1 and local_condition is not None:
+        net = add_condition(net, local_condition, pp1["lc_kernel"])
+    if "gc_kernel" in pp1 and global_condition is not None:
+        net = add_condition(net, global_condition, pp1["gc_kernel"])
+        if "gc_bias" in pp1:
+            net = net + pp1["gc_bias"]
+    net = jax.nn.relu(net).astype(compute_dtype)
+    pp2 = params["postprocess2"]
+    net = jnp.einsum("btc,cf->btf", net, pp2["kernel"][0],
+                     preferred_element_type=jnp.float32) + pp2["bias"]
+    return net
+
+
 def time_sharded_encoder_magenta(params, state, x_l, *, axis_name: str,
                                  **_):
     """Encoder_Magenta on a time shard (round-3 scope widening: SP was
@@ -267,7 +382,8 @@ def time_sharded_encoder_magenta(params, state, x_l, *, axis_name: str,
 
 def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
                       *, train: bool = True, axis_name: str = "time",
-                      batch_axis=None, with_tensors: bool = False):
+                      batch_axis=None, with_tensors: bool = False,
+                      decoder_halo: str = "layer"):
     """VQVAE loss with the TIME axis sharded over ``axis_name`` and
     (optionally) the batch sharded over ``batch_axis`` — SP composed with
     DP on one 2-D mesh in a single program (round-3: SP and DP used to be
@@ -369,16 +485,24 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
             lc_l_dec = lc_l.astype(jnp.bfloat16)
         else:
             x_l_dec, lc_l_dec = x_l, lc_l
-        x_ext = jnp.concatenate(
-            [_left_halo(x_l_dec, halo, axis_name), x_l_dec], axis=1)
-        lc_ext = jnp.concatenate(
-            [_left_halo(lc_l_dec, halo_frames, axis_name), lc_l_dec],
-            axis=1)
-        logits_ext = wavenet_logits(dec_params, cfg.wavenet,
-                                    x_ext, lc_ext,
-                                    pad_mask=_halo_pad_mask(
-                                        halo, x_l.shape[1], axis_name))
-        logits = logits_ext[:, halo:, :].astype(jnp.float32)
+        if decoder_halo == "layer":
+            # round 4: per-layer halo exchange — one RF's worth of extra
+            # rows across the whole stack instead of RF rows recomputed
+            # through every layer (function docstring has the arithmetic)
+            logits = time_sharded_wavenet_logits(
+                dec_params, cfg.wavenet, x_l_dec, lc_l_dec,
+                axis_name).astype(jnp.float32)
+        else:
+            x_ext = jnp.concatenate(
+                [_left_halo(x_l_dec, halo, axis_name), x_l_dec], axis=1)
+            lc_ext = jnp.concatenate(
+                [_left_halo(lc_l_dec, halo_frames, axis_name), lc_l_dec],
+                axis=1)
+            logits_ext = wavenet_logits(dec_params, cfg.wavenet,
+                                        x_ext, lc_ext,
+                                        pad_mask=_halo_pad_mask(
+                                            halo, x_l.shape[1], axis_name))
+            logits = logits_ext[:, halo:, :].astype(jnp.float32)
         labels = mu_law_encode(x_l[..., 0], cfg.wavenet.quantization_channels,
                                to_int=True)
         recon = lax.pmean(
@@ -461,7 +585,8 @@ def time_sharded_magenta_encode(params, x_l, *, axis_name: str):
 
 def time_sharded_magenta_loss(params, cfg: ModelConfig, x, y, mesh,
                               *, axis_name: str = "time", batch_axis=None,
-                              with_tensors: bool = False):
+                              with_tensors: bool = False,
+                              decoder_halo: str = "layer"):
     """The Magenta-family training loss (models/magenta.py::magenta_forward,
     reference Magenta/config.py:194-409) with the TIME axis sharded over
     ``axis_name`` — round-4 scope widening: SP used to cover only the main
@@ -517,16 +642,22 @@ def time_sharded_magenta_loss(params, cfg: ModelConfig, x, y, mesh,
             x_dec = x_l.astype(jnp.bfloat16)
             zq_dec = z_q.astype(jnp.bfloat16)
             gc_dec = gc.astype(jnp.bfloat16)
-        x_ext = jnp.concatenate(
-            [_left_halo(x_dec, halo, axis_name), x_dec], axis=1)
-        lc_ext = jnp.concatenate(
-            [_left_halo(zq_dec, halo_frames, axis_name), zq_dec], axis=1)
-        logits_ext = wavenet_logits(dec, cfg.wavenet, x_ext, lc_ext,
-                                    global_condition=gc_dec,
-                                    gate_order="sigmoid_first",
-                                    pad_mask=_halo_pad_mask(
-                                        halo, x_l.shape[1], axis_name))
-        logits = logits_ext[:, halo:, :].astype(jnp.float32)
+        if decoder_halo == "layer":
+            logits = time_sharded_wavenet_logits(
+                dec, cfg.wavenet, x_dec, zq_dec, axis_name,
+                global_condition=gc_dec,
+                gate_order="sigmoid_first").astype(jnp.float32)
+        else:
+            x_ext = jnp.concatenate(
+                [_left_halo(x_dec, halo, axis_name), x_dec], axis=1)
+            lc_ext = jnp.concatenate(
+                [_left_halo(zq_dec, halo_frames, axis_name), zq_dec], axis=1)
+            logits_ext = wavenet_logits(dec, cfg.wavenet, x_ext, lc_ext,
+                                        global_condition=gc_dec,
+                                        gate_order="sigmoid_first",
+                                        pad_mask=_halo_pad_mask(
+                                            halo, x_l.shape[1], axis_name))
+            logits = logits_ext[:, halo:, :].astype(jnp.float32)
         labels = mu_law_encode(x_l[..., 0], Q, to_int=True)
         recon = lax.pmean(
             wavenet_loss(logits.reshape(-1, Q), labels.reshape(-1)),
@@ -563,7 +694,8 @@ def time_sharded_magenta_loss(params, cfg: ModelConfig, x, y, mesh,
 
 def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
                        ema_decay: float = 0.999, batch_axis=None,
-                       with_summaries: bool = False):
+                       with_summaries: bool = False,
+                       decoder_halo: str = "layer"):
     """Jitted full train step (fwd+bwd+Adam+EMA) over a time-sharded mesh,
     optionally composed with data parallelism on a 2-D (data x time) mesh.
 
@@ -589,14 +721,16 @@ def make_sp_train_step(cfg: ModelConfig, mesh, axis_name: str = "time",
                 return time_sharded_magenta_loss(
                     params, cfg, batch["x"], batch.get("y"), mesh,
                     axis_name=axis_name, batch_axis=batch_axis,
-                    with_tensors=with_summaries)
+                    with_tensors=with_summaries,
+                    decoder_halo=decoder_halo)
         else:
             def loss_fn(params):
                 return time_sharded_loss(params, ts["model_state"], cfg,
                                          batch["x"], batch.get("y"), mesh,
                                          axis_name=axis_name,
                                          batch_axis=batch_axis,
-                                         with_tensors=with_summaries)
+                                         with_tensors=with_summaries,
+                                         decoder_halo=decoder_halo)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             ts["params"])
         # one fused Adam+apply+EMA tree pass (PERF.md #29), identical
