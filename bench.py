@@ -83,23 +83,27 @@ def main():
     fast_time = max(time.perf_counter() - t0 - rtt, 1e-9) / n_pipe
     fast_sps = length / fast_time
 
-    # ---- aggregate throughput at large batch: B=32 routes through the
-    # HYBRID kernel (weights resident, large-dilation rings in HBM)
-    b32 = 32
-    lc32 = jax.random.normal(jax.random.PRNGKey(5),
-                             (b32, t_cond, lc_channels))
-    agg_time = float("inf")
-    w = generate(params, cfg, lc32, length=length, key=key,
-                 compute_dtype=jnp.bfloat16, engine="auto")  # compile
-    fetch(w)
-    for trial in range(2):
-        t0 = time.perf_counter()
-        w = generate(params, cfg, lc32, length=length,
-                     key=jax.random.PRNGKey(20 + trial),
-                     compute_dtype=jnp.bfloat16, engine="auto")
+    # ---- aggregate throughput at large batch: B>=32 routes through the
+    # HYBRID kernel (weights resident, large-dilation rings in HBM).
+    # B=64/128 are the headline aggregate points (PERF.md #30-31) — the
+    # BENCH artifact must self-contain the batch-curve endpoints
+    # (VERDICT r4 #7).
+    agg_sps = {}
+    for b_agg in (32, 64, 128):
+        lc_b = jax.random.normal(jax.random.PRNGKey(5),
+                                 (b_agg, t_cond, lc_channels))
+        agg_time = float("inf")
+        w = generate(params, cfg, lc_b, length=length, key=key,
+                     compute_dtype=jnp.bfloat16, engine="auto")  # compile
         fetch(w)
-        agg_time = min(agg_time, time.perf_counter() - t0)
-    agg_sps = b32 * length / agg_time
+        for trial in range(2):
+            t0 = time.perf_counter()
+            w = generate(params, cfg, lc_b, length=length,
+                         key=jax.random.PRNGKey(20 + trial),
+                         compute_dtype=jnp.bfloat16, engine="auto")
+            fetch(w)
+            agg_time = min(agg_time, time.perf_counter() - t0)
+        agg_sps[b_agg] = b_agg * length / agg_time
 
     # ---- baseline proxy: one device dispatch + host sync per sample
     step_jit = jax.jit(lambda st, x, l: gen_step(params, cfg, st, x, l))
@@ -170,7 +174,9 @@ def main():
         "vs_baseline": round(fast_sps / base_sps, 2),
         "baseline_per_sample_dispatch_sps": round(base_sps, 2),
         "single_call_latency_sps": round(length / lat_time, 2),
-        "aggregate_b32_sps": round(agg_sps, 2),
+        "aggregate_b32_sps": round(agg_sps[32], 2),
+        "aggregate_b64_sps": round(agg_sps[64], 2),
+        "aggregate_b128_sps": round(agg_sps[128], 2),
         "clip_seconds_equiv": round(fast_sps / 16000.0, 3),
         "batch": batch,
         "length": length,

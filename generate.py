@@ -104,9 +104,13 @@ def main(argv=None):
     # length, so bucketing means a handful of compiles instead of one per
     # distinct input file; the padded tail is cut after generation.  Short
     # clips bucket at 1024 so they don't pay for an 8192-sample program.
+    # The encoder sees ONLY the unpadded wav (the reference encodes exactly
+    # the //512-truncated audio, generate.py:36-44; Encoder_64/2019 are
+    # non-causal, so a zero tail would leak into the last latent frames) —
+    # the LOCAL CONDITION is zero-padded to the bucket instead, which the
+    # kept samples never read (sample t consumes frame t//ratio < F_exact).
     bucket = 8192 if length > 4096 else 1024
     padded = -(-length // bucket) * bucket
-    wav = np.pad(wav, (0, padded - length))
     x = np.tile(wav.reshape(1, -1, 1), (batch_size, 1, 1)).astype(np.float32)
 
     y, num_speakers = speaker_one_hots(args.speakers, args.data_path)
@@ -146,6 +150,9 @@ def main(argv=None):
     t0 = time.time()
     if cfg.model_family == "magenta":
         from vqvae_wavenet_tpu.models.magenta import magenta_generate
+        # magenta_generate encodes the exact wav and zero-pads the latent
+        # frames out to `length` itself (frames beyond the wav are unread
+        # by the kept samples)
         audio = magenta_generate(params, x, y, length=padded,
                                  key=jax.random.PRNGKey(args.seed),
                                  mode=args.mode, compute_dtype=compute_dtype,
@@ -153,6 +160,16 @@ def main(argv=None):
                                  data_shards=args.data_shards)
     else:
         lc, _codes = vqvae_encode(params, state, cfg, x, y)
+        if padded > length:
+            # zero-pad the CONDITION to the compile bucket (not the wav):
+            # kept samples t < length read frames t//ratio, all of which
+            # come from the unpadded encode — bit-identical tail to an
+            # exact-length run (tests/test_generate_padding.py)
+            ratio = length // lc.shape[1]
+            assert padded % ratio == 0, (
+                f"bucket {padded} not a multiple of frame ratio {ratio}")
+            lc = jnp.pad(lc, ((0, 0), (0, (padded - length) // ratio),
+                              (0, 0)))
         if args.data_shards > 1:
             from vqvae_wavenet_tpu.parallel.genshard import generate_sharded
             audio = generate_sharded(

@@ -498,3 +498,29 @@ def test_sp_train_step_runs_and_learns(key):
     assert int(np.asarray(ts["step"])) == 5
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_sp_deep_config_falls_back_from_layer_halo(key):
+    """A >64-layer custom config under the DEFAULT decoder_halo='layer'
+    must silently take the recompute path (time_sharded_wavenet_logits
+    asserts num_layers <= 64) instead of failing at trace time — round-4
+    advisor finding.  Loss must still match the single device."""
+    from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
+    from vqvae_wavenet_tpu.parallel.timeshard import time_sharded_loss
+
+    deep_wn = WavenetConfig(
+        quantization_channels=32, num_cycles=33, num_cycle_layers=2,
+        dilation_rates=[1, 2] * 33, kernel_size=2,
+        dilation_filters=4, skip_filters=4, residual_filters=4,
+        preprocess_kernel_size=2, preprocess_filters=4)
+    cfg = sp_model_cfg(wavenet=deep_wn)
+    params, state = init_vqvae(key, cfg, num_speakers=4)
+    params = bump_biases(params)
+    B, T = 1, 256
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    y = jax.nn.one_hot(jnp.arange(B) % 4, 4)[:, None, :]
+    ref_loss, _ = vqvae_forward(params, state, cfg, x, y, train=True)
+    sp_loss, _ = time_sharded_loss(params, state, cfg, x, y, time_mesh(2),
+                                   decoder_halo="layer")
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=2e-5)

@@ -2,12 +2,18 @@
 
 VERDICT r3 #2 asked for "a PERF note quantifying SP overhead vs
 single-chip bf16 on the 8-device CPU mesh".  Only one real TPU chip is
-attached, so this is the honest way to measure what SP *adds*: per-shard
-compute under SP is the plain XLA mixed-precision path on every backend
-(the fused Pallas engine never engages under a pad mask — wavenet.py),
-so a CPU mesh exposes exactly the delta — per-layer ppermute halo
-exchange, halo recompute rows, shard_map bookkeeping, and the psum'd
-losses/stats — against the same XLA single-device program.
+attached, so this is the honest way to measure what SP *adds* ON TOP of
+its per-shard compute: under decoder_halo='layer'/'recompute' that
+compute is a hand-written XLA mirror of the stack (whether or not a pad
+mask is involved), so a CPU mesh exposes exactly the delta — per-layer
+ppermute halo exchange, halo recompute rows, shard_map bookkeeping, and
+the psum'd losses/stats — against the same XLA single-device program.
+CAVEAT (round-4 advisor): on real TPU the single-chip bf16 baseline runs
+the FUSED Pallas stack (~1.5x the XLA mirror), so the factor here
+UNDERSTATES SP's true cost vs a single chip by that per-shard engine gap
+for the XLA halo modes; decoder_halo='fused' (round 5) closes it — its
+per-shard compute IS the fused kernel, at a (T/n + halo)/(T/n) recompute
+overhead, measured on hardware in tools/exp_r5_spfused.py / PERF.md.
 
 Absolute times are 1-core-CPU-bound and meaningless; the RATIO
 (SP step time x n_shards worth of devices vs single-device step time on
@@ -105,7 +111,9 @@ def main():
             batch = make_batch(args.T, mesh)
         t = run(step, ts, batch, args.steps)
         results[name] = t
-        base = results.get("single_f32" if dtype == "f32" else "single")
+        base = (None if name.startswith("single")
+                else results.get("single_f32" if dtype == "f32"
+                                 else "single"))
         factor = f"  overhead x{t / base:.3f}" if base else ""
         print(f"{name:12s} {t * 1e3:9.1f} ms/step{factor}", flush=True)
 

@@ -232,6 +232,16 @@ def magenta_generate(params, x_cond, gc_one_hot, *, length: int = None,
     z_e = magenta_encode(params["encoder"], x_cond)
     q = vq_mod.quantize(params["vq"], z_e, mode="st")
     encoding = q["e_k"]                 # config.py:278: decoder sees e_k
+    if length > x_cond.shape[1]:
+        # compile-bucket padding (generate.py): the encoder saw ONLY the
+        # real wav; latent frames are zero-padded out to `length` — the
+        # kept samples (t < x_cond length) never read the padded frames,
+        # so the tail is bit-identical to an exact-length run
+        ratio = x_cond.shape[1] // encoding.shape[1]
+        assert length % ratio == 0
+        encoding = jnp.pad(
+            encoding,
+            ((0, 0), (0, (length - x_cond.shape[1]) // ratio), (0, 0)))
     gc_idx = jnp.argmax(gc_one_hot, axis=-1)
     gc = jnp.take(params["speaker_emb"], gc_idx, axis=0)  # [B, 1, 64]
     if data_shards > 1:

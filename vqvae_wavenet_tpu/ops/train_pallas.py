@@ -1146,7 +1146,8 @@ def fused_stack_eligible(cfg, B, T, t_cond, compute_dtype, has_lc, has_gc,
 
 @functools.lru_cache(maxsize=16)
 def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
-                      cdtype_name, interpret, gate_fold=True):
+                      cdtype_name, interpret, gate_fold=True,
+                      with_start=False):
     """Build the custom-VJP fused stack for one static configuration.
 
     Primal signature (shapes; dtypes follow the caller's params):
@@ -1158,6 +1159,16 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                               precomputed (wavenet_ops.py:93-101 constant
                               fold: enc + bias never changes within a step)
       x0      [B, T, R]       residual-stream input (post preprocess conv)
+      [s_rows [1] f32]        with_start=True only: number of leading rows
+                              (a multiple of every candidate tile size)
+                              whose tiles are SKIPPED — the SP path's
+                              "before the global sequence start" prefix on
+                              shard 0 (parallel/timeshard.py).  The first
+                              processed tile starts from the zeroed
+                              history arena, i.e. exactly the causal
+                              zero-pad state of a single-device sequence
+                              start; skipped tiles write nothing (their
+                              output rows are sliced off by the caller).
     Returns skip_sum [B, T, S] (compute dtype): sum over layers of
     gated @ skipw (skip BIASES are summed outside — they are
     position-independent constants, models/wavenet.py fused-skip path).
@@ -1177,30 +1188,42 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
     # masking) — the pad head IS conv1d_v2's causal zero pad
     PH = _xpad_rows(K, dils)
 
-    def kernel_body(tapw, srw_cat, res_b, lc_ref, x0_ref,
-                    skip_out, act_out, xst_out,
-                    hist, xa, xb, pre, skipacc, actsl, gbuf, actsem,
-                    xsem, x0sem):
+    def kernel_body(*refs):
+        if with_start:
+            s_ref, *refs = refs
+            s0 = s_ref[0].astype(jnp.int32) // Tt   # first processed tile
+        else:
+            s0 = 0
+        (tapw, srw_cat, res_b, lc_ref, x0_ref,
+         skip_out, act_out, xst_out,
+         hist, xa, xb, pre, skipacc, actsl, gbuf, actsem,
+         xsem, x0sem) = refs
         i = pl.program_id(0)
         t0 = i * Tt
 
         @pl.when(i == 0)
         def _zero_hist():
             hist[...] = jnp.zeros_like(hist)
-            # zero the xstack pad head from the just-zeroed history arena
-            # (HIST >= PH always: the arena holds sum of rounded (K-1)*d
-            # regions, PH is the largest one).  Only the rows a backward
-            # tap can actually reach need zeroing: layer l's deepest read
-            # starts at PH - (K-1)*d_l - 7 (the 8-aligned window skew),
-            # so zero [PH - zl, PH) per layer — ~5x fewer rows than the
-            # full head on the shipped schedule.  Waited immediately:
-            # layer 0's history update below rewrites hist rows the DMA
-            # reads.
+
+        @pl.when(i == s0)
+        def _zero_xpad_head():
+            # zero the xstack pad head from the (still-)zeroed history
+            # arena (HIST >= PH always: the arena holds sum of rounded
+            # (K-1)*d regions, PH is the largest one).  Only the rows a
+            # backward tap can actually reach need zeroing: layer l's
+            # deepest read starts at PH - (K-1)*d_l - 7 (the 8-aligned
+            # window skew), so zero [PH - zl, PH) per layer — ~5x fewer
+            # rows than the full head on the shipped schedule.  With a
+            # start offset the head sits at [inv + PH - zl, inv + PH):
+            # the backward's shifted tap DMAs for the first processed
+            # tile read exactly these rows.  Waited immediately: layer
+            # 0's history update below rewrites hist rows the DMA reads.
+            inv = s0 * Tt
             for l in range(L):
                 zl = min(PH, _round_up((K - 1) * dils[l] + 8, 8))
                 zdma = pltpu.make_async_copy(
                     hist.at[:, 0:zl, :],
-                    xst_out.at[l, :, PH - zl:PH, :], x0sem)
+                    xst_out.at[l, :, pl.ds(inv + PH - zl, zl), :], x0sem)
                 zdma.start()
                 zdma.wait()
 

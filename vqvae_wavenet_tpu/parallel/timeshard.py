@@ -423,6 +423,12 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
         "SP training supports the '64' and 'Magenta' encoders "
         "(Encoder_2019's MFCC framing spans shard boundaries)")
     assert not cfg.time_jitter and not cfg.condition_upsample
+    if decoder_halo == "layer" and cfg.wavenet.num_layers > 64:
+        # the layer-halo path mirrors wavenet_logits' UNROLLED stack
+        # (time_sharded_wavenet_logits asserts num_layers <= 64); deeper
+        # custom configs take the recompute halo, same guard as
+        # time_sharded_logits (round-4 advisor finding)
+        decoder_halo = "recompute"
     n = mesh.shape[axis_name]
     B, T, _ = x.shape
     ratio = 64
@@ -599,6 +605,8 @@ def time_sharded_magenta_loss(params, cfg: ModelConfig, x, y, mesh,
     from vqvae_wavenet_tpu.models.wavenet import wavenet_loss
     from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
 
+    if decoder_halo == "layer" and cfg.wavenet.num_layers > 64:
+        decoder_halo = "recompute"   # see time_sharded_loss (same guard)
     n = mesh.shape[axis_name]
     B, T, _ = x.shape
     ratio = 64
