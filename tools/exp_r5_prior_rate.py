@@ -88,16 +88,32 @@ def main():
                            state["ema_params"], params))
             return new, loss
 
-        state = {"params": prior_init, "opt_state": opt.init(prior_init),
+        # fresh buffers per dtype loop: the donated f32 state would other-
+        # wise delete prior_init's leaves before the bf16 run
+        p0 = jax.tree_util.tree_map(jnp.copy, prior_init)
+        state = {"params": p0, "opt_state": opt.init(p0),
                  "step": jnp.zeros((), jnp.int32),
                  "ema_params": jax.tree_util.tree_map(jnp.copy, prior_init)}
-        step_fn = jax.jit(step, donate_argnums=(0,))
-        state, loss = step_fn(state, x, y)     # compile
+        # the same mesh placement as prior.py:244-253 (a 1-device mesh —
+        # the axon backend rejects donated states without explicit
+        # shardings on this program)
+        from vqvae_wavenet_tpu.parallel.mesh import (make_mesh,
+                                                     batch_sharding,
+                                                     replicated)
+        mesh = make_mesh(num_data=1, num_model=1, devices=jax.devices()[:1])
+        state = jax.device_put(state, replicated(mesh))
+        x_d = jax.device_put(x, batch_sharding(mesh))
+        y_d = jax.device_put(y, batch_sharding(mesh))
+        step_fn = jax.jit(step, in_shardings=(replicated(mesh),
+                                              batch_sharding(mesh),
+                                              batch_sharding(mesh)),
+                          donate_argnums=(0,))
+        state, loss = step_fn(state, x_d, y_d)     # compile
         fetch(loss)
         r = rtt()
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            state, loss = step_fn(state, x, y)
+            state, loss = step_fn(state, x_d, y_d)
         fetch(loss)
         dt = max(time.perf_counter() - t0 - r, 1e-9) / args.steps
         print(f"prior {dtype:4s}: {dt * 1e3:7.2f} ms/step = "

@@ -69,14 +69,20 @@ def stft_magnitude(wav, frame_length=400, frame_step=160, pad_end=True):
     return jnp.abs(jnp.fft.rfft(frames * window, axis=-1))
 
 
-def mfcc(wav, sample_rate=16000, num_mfccs=13, num_mel_bins=80):
+def mfcc(wav, sample_rate=16000, num_mfccs=13, num_mel_bins=80,
+         pad_end=True):
     """MFCC features for Encoder_2019 (encoder_ops.py:14-43).
 
     wav: [B, T] float in [-1, 1] -> [B, ceil(T/160), 13].
+
+    pad_end=False computes 1 + (T - 400)//160 frames with no end padding —
+    the SP path (parallel/timeshard.py::time_sharded_encoder_2019) frames a
+    halo-extended shard where the global pad_end zeros arrive as the last
+    shard's ppermute right halo instead.
     """
     frame_length = int(25 / 1000 * sample_rate)
     frame_step = int(10 / 1000 * sample_rate)
-    mag = stft_magnitude(wav, frame_length, frame_step, pad_end=True)
+    mag = stft_magnitude(wav, frame_length, frame_step, pad_end=pad_end)
     mel_matrix = jnp.asarray(linear_to_mel_weight_matrix(
         num_mel_bins=num_mel_bins,
         num_spectrogram_bins=frame_length // 2 + 1,

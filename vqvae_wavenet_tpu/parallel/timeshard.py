@@ -380,6 +380,51 @@ def time_sharded_encoder_magenta(params, state, x_l, *, axis_name: str,
     return z, state
 
 
+def time_sharded_encoder_2019(params, state, x_l, *, axis_name: str, **_):
+    """Encoder_2019 on a time shard (round-5 scope widening — the last
+    SP-excluded encoder; reference Encoder/encoder.py:66-98 +
+    encoder_ops.py:14-43).
+
+    The MFCC front end is local: frame f reads samples [160f, 160f+400),
+    so the frames owned by a shard of T_l samples (T_l % 320 == 0) need a
+    fixed RIGHT halo of window - hop = 240 samples from the next shard;
+    the last shard's ppermute zeros ARE tf.signal's pad_end zeros (the
+    global pad is (F-1)*160 + 400 - T = 240 exactly when T % 160 == 0).
+    The conv tower on the frame axis is all 'SAME': k=3 convs exchange
+    (1, 1) frame halos, the k=4 s=2 strided conv exchanges (1, 1) — XLA
+    SAME for k=4, s=2, even length pads (1, 1), out[o] = in[2o-1 .. 2o+2]
+    — and edge shards' zeros reproduce the global SAME zero padding, so
+    no pad mask is needed anywhere.  Exact (reduction order aside) vs
+    encoder_2019_forward; includes the `net = r + r` reference oddity.
+
+    x_l: [B, T_l, 1] -> z_e_l [B, T_l/320, latent_dim].
+    """
+    from vqvae_wavenet_tpu.ops.conv import conv1d
+    from vqvae_wavenet_tpu.ops.signal import mfcc
+
+    ext = _exchange_both(x_l, 0, 240, axis_name)
+    net = mfcc(ext[..., 0], pad_end=False)               # [B, T_l/160, 13]
+
+    def same_k3(p, h):
+        return conv1d(_exchange_both(h, 1, 1, axis_name), p["kernel"],
+                      p["bias"], padding="VALID")
+
+    net = jax.nn.relu(same_k3(params["pre1"], net))
+    conv_out = jax.nn.relu(same_k3(params["pre2"], net))
+    net = conv_out + net
+    net = jax.nn.relu(conv1d(_exchange_both(net, 1, 1, axis_name),
+                             params["strided"]["kernel"],
+                             params["strided"]["bias"], stride=2,
+                             padding="VALID"))
+    for p in params["res"]:
+        net = jax.nn.relu(same_k3(p, net)) + net
+    for p in params["relu"]:
+        r = jax.nn.relu(same_k3(p, net))
+        net = r + r  # reference oddity: 2*relu(conv) (encoder.py:91-93)
+    return conv1d(net, params["out"]["kernel"], params["out"]["bias"],
+                  padding="VALID"), state
+
+
 def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
                       *, train: bool = True, axis_name: str = "time",
                       batch_axis=None, with_tensors: bool = False,
@@ -393,11 +438,13 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
     encoder exchanges per-layer halos, norms psum-sync their statistics
     over every sharded axis, VQ is pointwise with psum'd means, and the
     decoder pulls its receptive-field left halo (spanning multiple
-    neighbors when RF exceeds a shard).  Scope: encoder '64' or 'Magenta',
-    vq_mode st/joint/ema or use_vq=False, no time_jitter /
-    condition_upsample (asserted).
+    neighbors when RF exceeds a shard).  Scope: any of the three encoders
+    ('64', 'Magenta', '2019' — round 5 lifted the 2019 exclusion via a
+    fixed 240-sample MFCC right halo), vq_mode st/joint/ema or
+    use_vq=False, no time_jitter / condition_upsample (asserted).
 
-    x: [B, T, 1] (T divisible by 64*n); y: [B, 1, S] one-hot or None.
+    x: [B, T, 1] (T divisible by ratio*n, ratio = the encoder's
+    downsample rate: 64, or 320 for '2019'); y: [B, 1, S] one-hot or None.
     Returns (loss, aux) like vqvae_forward; for vq_mode='ema' aux carries
     globally-psum'd cluster stats under 'vq_stats' for
     vq.ema_codebook_apply (the update itself runs in the train step,
@@ -419,9 +466,8 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
     from vqvae_wavenet_tpu.models.wavenet import wavenet_loss
     from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
 
-    assert cfg.encoder in ("64", "Magenta"), (
-        "SP training supports the '64' and 'Magenta' encoders "
-        "(Encoder_2019's MFCC framing spans shard boundaries)")
+    from vqvae_wavenet_tpu.models.encoders import encoder_downsample_rate
+    assert cfg.encoder in ("64", "Magenta", "2019"), cfg.encoder
     assert not cfg.time_jitter and not cfg.condition_upsample
     if decoder_halo == "layer" and cfg.wavenet.num_layers > 64:
         # the layer-halo path mirrors wavenet_logits' UNROLLED stack
@@ -431,7 +477,7 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
         decoder_halo = "recompute"
     n = mesh.shape[axis_name]
     B, T, _ = x.shape
-    ratio = 64
+    ratio = encoder_downsample_rate(cfg.encoder)   # 64, or 320 for '2019'
     assert (T // n) % ratio == 0
     halo, halo_frames = halo_sizes(cfg.wavenet, ratio)
     # global reductions (losses, norm stats, VQ stats) span the time axis
@@ -453,6 +499,10 @@ def time_sharded_loss(params, state, cfg: ModelConfig, x, y, mesh,
             x_enc = x_l.astype(jnp.bfloat16)
         if cfg.encoder == "Magenta":
             z_e, enc_state = time_sharded_encoder_magenta(
+                enc_params, state["encoder"], x_enc,
+                axis_name=axis_name)
+        elif cfg.encoder == "2019":
+            z_e, enc_state = time_sharded_encoder_2019(
                 enc_params, state["encoder"], x_enc,
                 axis_name=axis_name)
         else:
