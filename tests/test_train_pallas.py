@@ -439,3 +439,132 @@ def test_engine_dispatch(key, monkeypatch):
     assert not calls            # CPU backend -> XLA path
     wavenet_logits(params, cfg, x, lc, engine="pallas")
     assert calls
+
+
+# ---------------- SP start-offset + layer-group chain (round 5) ----------
+
+
+def _frs(params, cfg, x0, lc, **kw):
+    from vqvae_wavenet_tpu.ops.train_pallas import fused_residual_stack
+    return fused_residual_stack(params["layers"], cfg, x0, lc,
+                                interpret=True, **kw)
+
+
+def _stack_inputs(cfg, B, T, t_cond, seed=21):
+    params, x, lc = make_inputs(cfg, B=B, T=T, t_cond=t_cond, seed=seed)
+    x0 = jax.random.normal(jax.random.PRNGKey(seed + 7), (B, T, 128)) * 0.2
+    return params, x0, lc
+
+
+@pytest.mark.slow
+def test_fused_start_rows_skips_prefix(key):
+    """with_start semantics: skipping the first h rows must equal running
+    the plain stack on the suffix alone — the zeroed history arena at the
+    first processed tile IS the causal zero pad of a sequence start
+    (wavenet_ops.py:81-87).  This is the SP shard-0 contract
+    (parallel/timeshard.py, decoder_halo='fused')."""
+    cfg = tiny_cfg()
+    B, T, FR = 1, 192, 8        # T = 3 x 64 forces the Tt=64 plan
+    h, hf = 64, 8
+    params, x0, lc = _stack_inputs(cfg, B, T, T // FR)
+
+    got = _frs(params, cfg, x0, lc, start_rows=jnp.asarray(float(h)))
+    ref = _frs(params, cfg, x0[:, h:], lc[:, hf:])
+    np.testing.assert_allclose(np.asarray(got[:, h:]), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_start_rows_gradients(key):
+    """Backward with a start offset: weight/x0/lc grads of the kept rows
+    must equal the plain suffix stack's grads, and the skipped-region x0
+    cotangent must be EXACTLY zero (the sweep kernel zeroes skipped dxout
+    tiles; garbage there would ship NaNs through the SP halo transpose)."""
+    cfg = tiny_cfg()
+    B, T, FR = 1, 192, 8
+    h, hf = 64, 8
+    params, x0, lc = _stack_inputs(cfg, B, T, T // FR, seed=31)
+    w = jax.random.normal(jax.random.PRNGKey(9), (128,)) * 0.1
+
+    def loss_start(p, x0, lc):
+        out = _frs(p, cfg, x0, lc, start_rows=jnp.asarray(float(h)))
+        return jnp.mean(jnp.tanh(out[:, h:]) * w)
+
+    def loss_suffix(p, x0s, lcs):
+        return jnp.mean(jnp.tanh(_frs(p, cfg, x0s, lcs)) * w)
+
+    ls, grads = jax.value_and_grad(loss_start, argnums=(0, 1, 2))(
+        params, x0, lc)
+    gs, gx, glc = grads
+    lr, ref = jax.value_and_grad(loss_suffix, argnums=(0, 1, 2))(
+        params, x0[:, h:], lc[:, hf:])
+    gr, gxr, glcr = ref
+    assert abs(float(ls) - float(lr)) < 1e-6
+    flat_s = jax.tree_util.tree_flatten_with_path(gs["layers"])[0]
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(gr["layers"])[0])
+    for kp, vs in flat_s:
+        vr = np.asarray(flat_r[kp], np.float64)
+        vs = np.asarray(vs, np.float64)
+        scale = np.abs(vr).max() + 1e-12
+        assert np.abs(vr - vs).max() / scale < 5e-3, \
+            jax.tree_util.keystr(kp)
+    np.testing.assert_allclose(np.asarray(gx[:, h:]), np.asarray(gxr),
+                               atol=2e-5, rtol=1e-4)
+    assert np.all(np.asarray(gx[:, :h]) == 0.0)
+    np.testing.assert_allclose(np.asarray(glc[:, hf:]), np.asarray(glcr),
+                               atol=2e-5, rtol=1e-4)
+    assert np.all(np.asarray(glc[:, :hf]) == 0.0)
+
+
+@pytest.mark.slow
+def test_fused_layer_group_chain_matches_full(key):
+    """layer_range + with_xout: running the stack as two chained groups
+    (skip sums added, the first group's x_out feeding the second) must
+    equal the whole-stack call — values AND the full gradient tree
+    (the x_out cotangent seeds the top sweep's dX chain)."""
+    cfg = tiny_cfg()
+    B, T, FR = 1, 192, 8
+    params, x0, lc = _stack_inputs(cfg, B, T, T // FR, seed=41)
+    w = jax.random.normal(jax.random.PRNGKey(11), (128,)) * 0.1
+
+    def loss_full(p, x0, lc):
+        return jnp.mean(jnp.tanh(_frs(p, cfg, x0, lc)) * w)
+
+    def loss_groups(p, x0, lc):
+        s1, xo = _frs(p, cfg, x0, lc, layer_range=(0, 2), with_xout=True)
+        s2 = _frs(p, cfg, xo, lc, layer_range=(2, 4))
+        return jnp.mean(jnp.tanh(s1 + s2) * w)
+
+    lf, gf = jax.value_and_grad(loss_full)(params, x0, lc)
+    lg, gg = jax.value_and_grad(loss_groups)(params, x0, lc)
+    assert abs(float(lf) - float(lg)) < 1e-6
+    flat_f = jax.tree_util.tree_flatten_with_path(gf["layers"])[0]
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(gg["layers"])[0])
+    for kp, vf in flat_f:
+        vg = np.asarray(flat_g[kp], np.float64)
+        vf = np.asarray(vf, np.float64)
+        scale = np.abs(vf).max() + 1e-12
+        assert np.abs(vf - vg).max() / scale < 5e-3, \
+            jax.tree_util.keystr(kp)
+
+
+@pytest.mark.slow
+def test_fused_start_rows_with_groups(key):
+    """start_rows composed with the group chain — the exact SP shard-0
+    shape: both groups skip the same halo tiles and the kept rows equal
+    the plain suffix group chain."""
+    cfg = tiny_cfg()
+    B, T, FR = 1, 192, 8
+    h, hf = 64, 8
+    params, x0, lc = _stack_inputs(cfg, B, T, T // FR, seed=51)
+    s = jnp.asarray(float(h))
+
+    s1, xo = _frs(params, cfg, x0, lc, layer_range=(0, 2), with_xout=True,
+                  start_rows=s)
+    s2 = _frs(params, cfg, xo, lc, layer_range=(2, 4), start_rows=s)
+    got = (s1 + s2)[:, h:]
+    r1, xor_ = _frs(params, cfg, x0[:, h:], lc[:, hf:], layer_range=(0, 2),
+                    with_xout=True)
+    r2 = _frs(params, cfg, xor_, lc[:, hf:], layer_range=(2, 4))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(r1 + r2),
+                               atol=2e-4, rtol=1e-4)

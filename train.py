@@ -73,6 +73,15 @@ def parse_args(argv=None):
                              "(sequence parallelism with receptive-field "
                              "halo exchange — train on audio longer than "
                              "one chip; -length/N must be a multiple of 64)")
+    parser.add_argument("-decoder_halo", default="auto",
+                        choices=["auto", "fused", "layer", "recompute"],
+                        help="SP decoder scheme under -time_shards: "
+                             "'fused' = per-cycle recompute halos through "
+                             "the fused Pallas engine (round 5), 'layer' = "
+                             "per-layer halo exchange (XLA), 'recompute' = "
+                             "one RF-sized halo + pad mask; 'auto' picks "
+                             "fused on TPU (per-shard fallback to layer "
+                             "when ineligible) and layer off-TPU")
     return parser.parse_args(argv)
 
 
@@ -141,9 +150,18 @@ def main(argv=None):
             ("data", "time"))
         if n_data > 1:
             print(f"[mesh] data={n_data} x time={n_time}")
-        sp_step = make_sp_train_step(cfg, mesh_t, batch_axis="data")
+        halo = args.decoder_halo
+        if halo == "auto":
+            # fused engages only on TPU (interpret-mode Pallas on a CPU
+            # mesh is test-only); ineligible shapes fall back per shard
+            # inside time_sharded_loss
+            halo = ("fused" if jax.devices()[0].platform == "tpu"
+                    else "layer")
+        sp_step = make_sp_train_step(cfg, mesh_t, batch_axis="data",
+                                     decoder_halo=halo)
         sp_summary = make_sp_train_step(cfg, mesh_t, batch_axis="data",
-                                        with_summaries=True)
+                                        with_summaries=True,
+                                        decoder_halo=halo)
         x_sh = NamedSharding(mesh_t, P("data", "time", None))
         y_sh = NamedSharding(mesh_t, P("data"))
         repl = NamedSharding(mesh_t, P())

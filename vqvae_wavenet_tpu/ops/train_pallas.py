@@ -650,7 +650,8 @@ def _make_dk_kernel(L, K, R, D, S, dils, B, T, cdtype_name, interpret,
 
 
 def _plan_bwd_fused_dk(L, K, R, D, S, dils, B, T, FR, itemsize,
-                       dsk_forced_out=False, lg_cap=None):
+                       dsk_forced_out=False, lg_cap=None,
+                       dsk_in_only=False, tt_cap=512):
     """Tile + layer-group plan for the FUSED chain+dW backward (#33).
 
     The one-kernel chain+dW fusion at the shipped config needs the full
@@ -667,9 +668,19 @@ def _plan_bwd_fused_dk(L, K, R, D, S, dils, B, T, FR, itemsize,
     """
     D2 = 2 * D
     budget = _BWD_FUSED_BUDGET_MB * 2 ** 20
-    for dsk_in in ((False,) if dsk_forced_out else (True, False)):
+    # dsk_in_only: the SP start-offset path (with_start) must keep dsk
+    # in-kernel — the out-of-kernel fallback contracts the SAVED act
+    # stack over the full T axis, and a start offset leaves the skipped
+    # tiles' act rows unwritten (garbage * the zero dskip rows is NaN-
+    # unsafe), so it is ineligible rather than masked.
+    dsk_opts = ((True,) if dsk_in_only
+                else (False,) if dsk_forced_out else (True, False))
+    for dsk_in in dsk_opts:
         for Tt in (256, 128, 64):
-            if T % Tt or Tt % FR:
+            # tt_cap (SP start-offset path): the start row count is a
+            # multiple of the caller's shard-length quantum q; capping
+            # Tt <= q keeps every skipped prefix whole tiles
+            if Tt > tt_cap or T % Tt or Tt % FR:
                 continue
             Ft = Tt // FR
             for Lg in range(L, 0, -1):
@@ -724,7 +735,8 @@ def _plan_bwd_fused_dk(L, K, R, D, S, dils, B, T, FR, itemsize,
 def _make_bwd_sweep_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
                            cdtype_name, interpret, g0, Lg, Tt, Ft,
                            offs, modes, AR, dsk_in, first, PH,
-                           gate_precomp, mx_reduce=True):
+                           gate_precomp, mx_reduce=True,
+                           with_start=False):
     """One layer-group sweep of the FUSED chain+dW backward (PERF.md #33).
 
     Identical reverse-tile chain math to _make_bwd_kernel restricted to
@@ -748,6 +760,18 @@ def _make_bwd_sweep_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
 
     def body(*refs):
         refs = list(refs)
+        if with_start:
+            # start offset (rows, a Tt multiple) — tiles before it are
+            # SKIPPED in the reverse sweep exactly as the forward skipped
+            # them: their act/xstack rows were never written, the dX
+            # chain terminates at the first processed tile (a processed
+            # tile's tap spills into the skipped arena region stay
+            # unread), and drb/dk/dsk/drs accumulate nothing there —
+            # matching the true gradient of the suffix-only computation
+            s_ref = refs.pop(0)
+            s0 = s_ref[0].astype(jnp.int32) // Tt
+        else:
+            s0 = 0
         kcat, rs_cat = refs.pop(0), refs.pop(0)
         sel_ref = refs.pop(0) if mx_reduce else None
         dskip_ref = refs.pop(0)
@@ -806,170 +830,189 @@ def _make_bwd_sweep_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
                 xin_hbm.at[g0 + ll, :, pl.ds(t0 + PH - o - r, Tt + 8), :],
                 xsl.at[slot, j], xsem.at[slot, j])
 
-        act_dma((Lg - 1) % 2, Lg - 1).start()
-        for j in range(K):
-            x_dma((Lg - 1) % 2, Lg - 1, j).start()
-        if Lg >= 2:
-            act_dma((Lg - 2) % 2, Lg - 2).start()
+        def _tile():
+            act_dma((Lg - 1) % 2, Lg - 1).start()
             for j in range(K):
-                x_dma((Lg - 2) % 2, Lg - 2, j).start()
-
-        dskip16 = dskip_ref[...]
-        dskip2 = dskip16.reshape(B * Tt, S)
-        xcat[:, :, R:] = dskip16
-        if first:
-            dX = jnp.zeros((B, Tt, R), f32)
-        else:
-            dX = dxin_ref[...].astype(f32)
-        one = jnp.asarray(1.0, cdtype)
-        dn = (((0,), (0,)), ((), ()))    # contract over B*Tt rows
-
-        for ll in reversed(range(Lg)):
-            d = dils[g0 + ll]
-            Hl = (K - 1) * d
-            roff = offs[ll]
-            slot = ll % 2
-            act_dma(slot, ll).wait()
-            f16 = actsl[slot, :, :, :D]
-            g16 = actsl[slot, :, :, D:]
-            gated = f16 * g16
-            if gate_precomp:
-                if tanh_first:
-                    Ga = g16 * (one - f16 * f16)
-                    Gb = gated * (one - g16)
-                else:
-                    Ga = gated * (one - f16)
-                    Gb = f16 * (one - g16 * g16)
-            if ll >= 2:
-                act_dma(slot, ll - 2).start()
-
-            dX16 = dX.astype(cdtype)
-            xcat[:, :, :R] = dX16
-            dg = jnp.dot(xcat[...].reshape(B * Tt, R + S), rs_cat[ll],
-                         preferred_element_type=f32)
-            dg16 = dg.astype(cdtype).reshape(B, Tt, D)
-            if gate_precomp:
-                da = dg16 * Ga
-                db = dg16 * Gb
-            elif tanh_first:
-                # factored gate derivative (PERF.md #33): u = dg*g,
-                # v = u*f -> da = u - v*f = dg*g*(1-f^2),
-                # db = v - v*g = dg*f*g*(1-g) — 6 VPU ops vs 8; the
-                # serial MXU+VPU kernel pays every VPU op as wall time
-                u = dg16 * g16
-                v = u * f16
-                da = u - v * f16
-                db = v - v * g16
-            else:
-                # sigmoid_first: da = dg*g*f*(1-f), db = dg*f*(1-g^2)
-                v = dg16 * g16 * f16
-                w = dg16 * f16
-                da = v - v * f16
-                db = w - (w * g16) * g16
-
-            # ---- weight-grad accumulators (f32, revisited VMEM blocks)
-            g2 = gated.reshape(B * Tt, D)
-            if dskrs_ref is not None:
-                # one [B*Tt,D]^T x [B*Tt, R+S] dot: columns [:R] are drs
-                # (against dX16, already in xcat), [R:] are dsk (against
-                # the tile-constant dskip half) — bit-identical to the
-                # separate dots, one MXU issue instead of two
-                dskrs_ref[ll, :, :] += jax.lax.dot_general(
-                    g2, xcat[...].reshape(B * Tt, R + S), dn,
-                    preferred_element_type=f32)
-            else:
-                if dsk_in:
-                    dsk_ref[ll, :, :] += jax.lax.dot_general(
-                        g2, dskip2, dn, preferred_element_type=f32)
-                drs_ref[ll, :, :] += jax.lax.dot_general(
-                    g2, dX16.reshape(B * Tt, R), dn,
-                    preferred_element_type=f32)
-            drb_ref[ll:ll + 1, :] = (drb_ref[ll:ll + 1, :]
-                                     + dX.sum(axis=(0, 1))[None, :])
-
-            dp2 = jnp.concatenate(
-                [da.reshape(B * Tt, D), db.reshape(B * Tt, D)], axis=1)
-            if mx_reduce:
-                # the per-frame condition-grad reduction as ONE tiny MXU
-                # dot against a constant 0/1 selector (rows (b,t), cols
-                # (f,b): 1 iff t in frame f of batch b) instead of 2*Ft
-                # full-tensor VPU slice-sums — the kernel is serial
-                # MXU+VPU (PERF.md #33: no cross-unit overlap), so VPU
-                # ops removed are wall time removed
-                dlc_ref[ll] = jax.lax.dot_general(
-                    sel_ref[...], dp2, dn,
-                    preferred_element_type=f32).reshape(Ft, B, D2)
-            else:
-                for fidx in range(Ft):
-                    sl = slice(fidx * FR, (fidx + 1) * FR)
-                    dlc_ref[ll, fidx, :, :D] = \
-                        da[:, sl, :].astype(f32).sum(1)
-                    dlc_ref[ll, fidx, :, D:] = \
-                        db[:, sl, :].astype(f32).sum(1)
-
-            # ---- dW taps against the prefetched x tap tiles: dpre is
-            # LIVE (never streamed to HBM) — the core of the fusion
-            for j in range(K):
-                x_dma(slot, ll, j).wait()
-            xs = []
-            for j in range(K):
-                r = (PH - (K - 1 - j) * d) % 8
-                xs.append(xsl[slot, j, :, r:r + Tt, :].reshape(B * Tt, R))
-            xs_cat = jnp.concatenate(xs, axis=1)
-            if ll >= 2:
+                x_dma((Lg - 1) % 2, Lg - 1, j).start()
+            if Lg >= 2:
+                act_dma((Lg - 2) % 2, Lg - 2).start()
                 for j in range(K):
-                    x_dma(slot, ll - 2, j).start()
-            dk3 = jax.lax.dot_general(xs_cat, dp2, dn,
-                                      preferred_element_type=f32)
-            for j in range(K):
-                dk_ref[ll, j, :, :] += dk3[j * R:(j + 1) * R, :]
+                    x_dma((Lg - 2) % 2, Lg - 2, j).start()
 
-            # ---- dX taps: identical arena scheme to _make_bwd_kernel
-            c_all = jnp.dot(dp2, kcat[ll], preferred_element_type=f32)
-            if modes[ll] == "ring":
-                nc = Hl // Tt
-                ci = jnp.remainder(it, nc)
-                pend = arena[:, pl.ds(roff + ci * Tt, Tt), :]
-                dX = dX + pend.astype(f32)
+            dskip16 = dskip_ref[...]
+            dskip2 = dskip16.reshape(B * Tt, S)
+            xcat[:, :, R:] = dskip16
+            if first:
+                dX = jnp.zeros((B, Tt, R), f32)
             else:
-                pend = arena[:, roff + _round_up(Hl, 16) - Hl:
-                             roff + _round_up(Hl, 16), :]
-                dX = dX + jnp.pad(pend.astype(f32),
-                                  ((0, 0), (Tt - Hl, 0), (0, 0)))
-            first_spill = True
-            for j in range(K):
-                o = (K - 1 - j) * d
-                c = c_all[:, j * R:(j + 1) * R].reshape(B, Tt, R)
-                if o == 0:
-                    dX = dX + c
-                elif modes[ll] == "ring":
-                    cj = jnp.remainder(it - o // Tt, nc)
-                    ds = pl.ds(roff + cj * Tt, Tt)
-                    if first_spill:   # the chunk consumed above: SET
-                        arena[:, ds, :] = c.astype(cdtype)
-                    else:
-                        old = arena[:, ds, :]
-                        arena[:, ds, :] = (old.astype(f32)
-                                           + c).astype(cdtype)
-                    first_spill = False
-                else:
-                    szr = _round_up(Hl, 16)
-                    m_in = Tt - o        # rows landing inside the tile
-                    if m_in > 0:
-                        dX = dX + jnp.pad(c[:, o:, :],
-                                          ((0, 0), (0, o), (0, 0)))
-                    sp = jnp.pad(c[:, :o, :],
-                                 ((0, 0), (szr - o, 0), (0, 0)))
-                    if first_spill:
-                        arena[:, roff:roff + szr, :] = sp.astype(cdtype)
-                    else:
-                        reg = arena[:, roff:roff + szr, :]
-                        arena[:, roff:roff + szr, :] = (
-                            reg.astype(f32) + sp).astype(cdtype)
-                    first_spill = False
+                dX = dxin_ref[...].astype(f32)
+            one = jnp.asarray(1.0, cdtype)
+            dn = (((0,), (0,)), ((), ()))    # contract over B*Tt rows
 
-            if ll == 0:
-                dxout_ref[...] = dX.astype(cdtype)
+            for ll in reversed(range(Lg)):
+                d = dils[g0 + ll]
+                Hl = (K - 1) * d
+                roff = offs[ll]
+                slot = ll % 2
+                act_dma(slot, ll).wait()
+                f16 = actsl[slot, :, :, :D]
+                g16 = actsl[slot, :, :, D:]
+                gated = f16 * g16
+                if gate_precomp:
+                    if tanh_first:
+                        Ga = g16 * (one - f16 * f16)
+                        Gb = gated * (one - g16)
+                    else:
+                        Ga = gated * (one - f16)
+                        Gb = f16 * (one - g16 * g16)
+                if ll >= 2:
+                    act_dma(slot, ll - 2).start()
+
+                dX16 = dX.astype(cdtype)
+                xcat[:, :, :R] = dX16
+                dg = jnp.dot(xcat[...].reshape(B * Tt, R + S), rs_cat[ll],
+                             preferred_element_type=f32)
+                dg16 = dg.astype(cdtype).reshape(B, Tt, D)
+                if gate_precomp:
+                    da = dg16 * Ga
+                    db = dg16 * Gb
+                elif tanh_first:
+                    # factored gate derivative (PERF.md #33): u = dg*g,
+                    # v = u*f -> da = u - v*f = dg*g*(1-f^2),
+                    # db = v - v*g = dg*f*g*(1-g) — 6 VPU ops vs 8; the
+                    # serial MXU+VPU kernel pays every VPU op as wall time
+                    u = dg16 * g16
+                    v = u * f16
+                    da = u - v * f16
+                    db = v - v * g16
+                else:
+                    # sigmoid_first: da = dg*g*f*(1-f), db = dg*f*(1-g^2)
+                    v = dg16 * g16 * f16
+                    w = dg16 * f16
+                    da = v - v * f16
+                    db = w - (w * g16) * g16
+
+                # ---- weight-grad accumulators (f32, revisited VMEM blocks)
+                g2 = gated.reshape(B * Tt, D)
+                if dskrs_ref is not None:
+                    # one [B*Tt,D]^T x [B*Tt, R+S] dot: columns [:R] are drs
+                    # (against dX16, already in xcat), [R:] are dsk (against
+                    # the tile-constant dskip half) — bit-identical to the
+                    # separate dots, one MXU issue instead of two
+                    dskrs_ref[ll, :, :] += jax.lax.dot_general(
+                        g2, xcat[...].reshape(B * Tt, R + S), dn,
+                        preferred_element_type=f32)
+                else:
+                    if dsk_in:
+                        dsk_ref[ll, :, :] += jax.lax.dot_general(
+                            g2, dskip2, dn, preferred_element_type=f32)
+                    drs_ref[ll, :, :] += jax.lax.dot_general(
+                        g2, dX16.reshape(B * Tt, R), dn,
+                        preferred_element_type=f32)
+                drb_ref[ll:ll + 1, :] = (drb_ref[ll:ll + 1, :]
+                                         + dX.sum(axis=(0, 1))[None, :])
+
+                dp2 = jnp.concatenate(
+                    [da.reshape(B * Tt, D), db.reshape(B * Tt, D)], axis=1)
+                if mx_reduce:
+                    # the per-frame condition-grad reduction as ONE tiny MXU
+                    # dot against a constant 0/1 selector (rows (b,t), cols
+                    # (f,b): 1 iff t in frame f of batch b) instead of 2*Ft
+                    # full-tensor VPU slice-sums — the kernel is serial
+                    # MXU+VPU (PERF.md #33: no cross-unit overlap), so VPU
+                    # ops removed are wall time removed
+                    dlc_ref[ll] = jax.lax.dot_general(
+                        sel_ref[...], dp2, dn,
+                        preferred_element_type=f32).reshape(Ft, B, D2)
+                else:
+                    for fidx in range(Ft):
+                        sl = slice(fidx * FR, (fidx + 1) * FR)
+                        dlc_ref[ll, fidx, :, :D] = \
+                            da[:, sl, :].astype(f32).sum(1)
+                        dlc_ref[ll, fidx, :, D:] = \
+                            db[:, sl, :].astype(f32).sum(1)
+
+                # ---- dW taps against the prefetched x tap tiles: dpre is
+                # LIVE (never streamed to HBM) — the core of the fusion
+                for j in range(K):
+                    x_dma(slot, ll, j).wait()
+                xs = []
+                for j in range(K):
+                    r = (PH - (K - 1 - j) * d) % 8
+                    xs.append(xsl[slot, j, :, r:r + Tt, :].reshape(B * Tt, R))
+                xs_cat = jnp.concatenate(xs, axis=1)
+                if ll >= 2:
+                    for j in range(K):
+                        x_dma(slot, ll - 2, j).start()
+                dk3 = jax.lax.dot_general(xs_cat, dp2, dn,
+                                          preferred_element_type=f32)
+                for j in range(K):
+                    dk_ref[ll, j, :, :] += dk3[j * R:(j + 1) * R, :]
+
+                # ---- dX taps: identical arena scheme to _make_bwd_kernel
+                c_all = jnp.dot(dp2, kcat[ll], preferred_element_type=f32)
+                if modes[ll] == "ring":
+                    nc = Hl // Tt
+                    ci = jnp.remainder(it, nc)
+                    pend = arena[:, pl.ds(roff + ci * Tt, Tt), :]
+                    dX = dX + pend.astype(f32)
+                else:
+                    pend = arena[:, roff + _round_up(Hl, 16) - Hl:
+                                 roff + _round_up(Hl, 16), :]
+                    dX = dX + jnp.pad(pend.astype(f32),
+                                      ((0, 0), (Tt - Hl, 0), (0, 0)))
+                first_spill = True
+                for j in range(K):
+                    o = (K - 1 - j) * d
+                    c = c_all[:, j * R:(j + 1) * R].reshape(B, Tt, R)
+                    if o == 0:
+                        dX = dX + c
+                    elif modes[ll] == "ring":
+                        cj = jnp.remainder(it - o // Tt, nc)
+                        ds = pl.ds(roff + cj * Tt, Tt)
+                        if first_spill:   # the chunk consumed above: SET
+                            arena[:, ds, :] = c.astype(cdtype)
+                        else:
+                            old = arena[:, ds, :]
+                            arena[:, ds, :] = (old.astype(f32)
+                                               + c).astype(cdtype)
+                        first_spill = False
+                    else:
+                        szr = _round_up(Hl, 16)
+                        m_in = Tt - o        # rows landing inside the tile
+                        if m_in > 0:
+                            dX = dX + jnp.pad(c[:, o:, :],
+                                              ((0, 0), (0, o), (0, 0)))
+                        sp = jnp.pad(c[:, :o, :],
+                                     ((0, 0), (szr - o, 0), (0, 0)))
+                        if first_spill:
+                            arena[:, roff:roff + szr, :] = sp.astype(cdtype)
+                        else:
+                            reg = arena[:, roff:roff + szr, :]
+                            arena[:, roff:roff + szr, :] = (
+                                reg.astype(f32) + sp).astype(cdtype)
+                        first_spill = False
+
+                if ll == 0:
+                    dxout_ref[...] = dX.astype(cdtype)
+
+        if with_start:
+            @pl.when(it < s0)
+            def _skipped():
+                # dlc is consumed at the JAX level over the FULL
+                # frame axis (the lc_encb fold's autodiff), so a
+                # skipped tile must write ZEROS, not garbage; the
+                # dxout zeros keep NaN bits out of the (sliced-off)
+                # halo rows of the boundary dX stream
+                dlc_ref[...] = jnp.zeros_like(dlc_ref)
+                dxout_ref[...] = jnp.zeros_like(dxout_ref)
+            pl.when(it >= s0)(_tile)
+        else:
+            _tile()
+
+    def imap(fn):
+        # scalar-prefetch operands add a trailing ref arg to index maps
+        return (lambda i, s: fn(i)) if with_start else fn
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),               # kcat_g
@@ -978,19 +1021,19 @@ def _make_bwd_sweep_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
     if mx_reduce:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # sel
     in_specs.append(pl.BlockSpec((B, Tt, S),
-                                 lambda i: (0, n_tiles - 1 - i, 0)))
+                                 imap(lambda i: (0, n_tiles - 1 - i, 0))))
     if not first:
         in_specs.append(pl.BlockSpec((B, Tt, R),
-                                     lambda i: (0, n_tiles - 1 - i, 0)))
+                                     imap(lambda i: (0, n_tiles - 1 - i, 0))))
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.ANY),                # act
         pl.BlockSpec(memory_space=pltpu.ANY),                # xin (padded)
     ]
     out_specs = [
         pl.BlockSpec((B, Tt, R),
-                     lambda i: (0, n_tiles - 1 - i, 0)),     # dxout
+                     imap(lambda i: (0, n_tiles - 1 - i, 0))),     # dxout
         pl.BlockSpec((Lg, Ft, B, D2),
-                     lambda i: (0, n_tiles - 1 - i, 0, 0)),  # dlc
+                     imap(lambda i: (0, n_tiles - 1 - i, 0, 0))),  # dlc
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, T, R), cdtype),
@@ -998,28 +1041,29 @@ def _make_bwd_sweep_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
     ]
     if dsk_in and mx_reduce:
         out_specs.append(pl.BlockSpec((Lg, D, R + S),
-                                      lambda i: (0, 0, 0)))  # drs|dsk
+                                      imap(lambda i: (0, 0, 0))))  # drs|dsk
         out_shape.append(jax.ShapeDtypeStruct((Lg, D, R + S),
                                               jnp.float32))
     else:
         if dsk_in:
             out_specs.append(pl.BlockSpec((Lg, D, S),
-                                          lambda i: (0, 0, 0)))
+                                          imap(lambda i: (0, 0, 0))))
             out_shape.append(jax.ShapeDtypeStruct((Lg, D, S),
                                                   jnp.float32))
         out_specs.append(pl.BlockSpec((Lg, D, R),
-                                      lambda i: (0, 0, 0)))  # drs
+                                      imap(lambda i: (0, 0, 0))))  # drs
         out_shape.append(jax.ShapeDtypeStruct((Lg, D, R), jnp.float32))
     out_specs += [
-        pl.BlockSpec((Lg, R), lambda i: (0, 0)),             # drb
-        pl.BlockSpec((Lg, K, R, D2), lambda i: (0, 0, 0, 0)),  # dk
+        pl.BlockSpec((Lg, R), imap(lambda i: (0, 0))),             # drb
+        pl.BlockSpec((Lg, K, R, D2),
+                     imap(lambda i: (0, 0, 0, 0))),                # dk
     ]
     out_shape += [
         jax.ShapeDtypeStruct((Lg, R), jnp.float32),
         jax.ShapeDtypeStruct((Lg, K, R, D2), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1 if with_start else 0,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -1034,8 +1078,11 @@ def _make_bwd_sweep_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
         ],
     )
 
-    def sweep_call(kcat_g, rs_cat_g, dskip16, dxin, act, xin):
+    def sweep_call(kcat_g, rs_cat_g, dskip16, dxin, act, xin,
+                   s_rows=None):
         operands = [kcat_g, rs_cat_g]
+        if with_start:
+            operands.insert(0, s_rows)
         if mx_reduce:
             # constant frame selector, pre-transposed for the
             # row-contraction dot: rows (b, t), cols (f, b)
@@ -1073,7 +1120,8 @@ def _make_bwd_sweep_kernel(L, K, R, D, S, dils, B, T, FR, gate_order,
     return sweep_call
 
 
-def _plan(L, K, R, D, S, dils, B, T, FR, itemsize, Ft_cap=64):
+def _plan(L, K, R, D, S, dils, B, T, FR, itemsize, Ft_cap=64,
+          tt_cap=512):
     """Choose the time-tile size and lay out the history arena.
 
     Returns None if no tile size fits the VMEM budget / divisibility
@@ -1091,7 +1139,7 @@ def _plan(L, K, R, D, S, dils, B, T, FR, itemsize, Ft_cap=64):
     resident = (L * K * R * D2 + L * D * S + L * D * R) * itemsize \
         + L * R * 4 + B * HIST * R * itemsize
     for Tt in (512, 256, 128, 64):
-        if T % Tt or Tt % FR:
+        if Tt > tt_cap or T % Tt or Tt % FR:
             continue
         Ft = Tt // FR
         tile = (2 * B * Tt * R * itemsize        # x ping/pong
@@ -1147,7 +1195,7 @@ def fused_stack_eligible(cfg, B, T, t_cond, compute_dtype, has_lc, has_gc,
 @functools.lru_cache(maxsize=16)
 def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                       cdtype_name, interpret, gate_fold=True,
-                      with_start=False):
+                      with_start=False, with_xout=False, tt_cap=512):
     """Build the custom-VJP fused stack for one static configuration.
 
     Primal signature (shapes; dtypes follow the caller's params):
@@ -1176,7 +1224,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
     cdtype = jnp.bfloat16 if cdtype_name == "bf16" else jnp.float32
     itemsize = 2 if cdtype == jnp.bfloat16 else 4
     D2 = 2 * D
-    plan = _plan(L, K, R, D, S, dils, B, T, FR, itemsize)
+    plan = _plan(L, K, R, D, S, dils, B, T, FR, itemsize, tt_cap=tt_cap)
     assert plan is not None, "caller must check fused_stack_eligible first"
     Tt, n_tiles, Ft = plan["Tt"], plan["n_tiles"], plan["Ft"]
     hist_offs, HIST = plan["hist_offs"], plan["HIST"]
@@ -1201,7 +1249,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         i = pl.program_id(0)
         t0 = i * Tt
 
-        @pl.when(i == 0)
+        @pl.when(i == s0)
         def _zero_hist():
             hist[...] = jnp.zeros_like(hist)
 
@@ -1227,168 +1275,186 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                 zdma.start()
                 zdma.wait()
 
-        def m2(v, ch):
-            return v.reshape(B * v.shape[1], ch)
+        def _tile():
+            def m2(v, ch):
+                return v.reshape(B * v.shape[1], ch)
 
-        bufs = (xa, xb)
-        last_act = {}   # slot -> last layer whose act DMA is unretired
+            bufs = (xa, xb)
+            last_act = {}   # slot -> last layer whose act DMA is unretired
 
-        def act_dma(slot, l):
-            return pltpu.make_async_copy(
-                actsl.at[slot],
-                act_out.at[l, :, pl.ds(t0, Tt), :],
-                actsem.at[slot])
+            def act_dma(slot, l):
+                return pltpu.make_async_copy(
+                    actsl.at[slot],
+                    act_out.at[l, :, pl.ds(t0, Tt), :],
+                    actsem.at[slot])
 
-        def x_dma(buf_idx, j):
-            # buf holds layer j's OUTPUT = the input of layer j+1
-            return pltpu.make_async_copy(
-                bufs[buf_idx],
-                xst_out.at[j + 1, :, pl.ds(t0 + PH, Tt), :],
-                xsem.at[buf_idx])
+            def x_dma(buf_idx, j):
+                # buf holds layer j's OUTPUT = the input of layer j+1
+                return pltpu.make_async_copy(
+                    bufs[buf_idx],
+                    xst_out.at[j + 1, :, pl.ds(t0 + PH, Tt), :],
+                    xsem.at[buf_idx])
 
-        x0_dma = pltpu.make_async_copy(
-            x0_ref, xst_out.at[0, :, pl.ds(t0 + PH, Tt), :], x0sem)
-        x0_dma.start()
+            x0_dma = pltpu.make_async_copy(
+                x0_ref, xst_out.at[0, :, pl.ds(t0 + PH, Tt), :], x0sem)
+            x0_dma.start()
 
-        xcur_ref = x0_ref
-        for l in range(L):
-            d = dils[l]
-            Hl = (K - 1) * d
-            roff = hist_offs[l]
-            # layers whose history exceeds one tile address it as a RING
-            # of Tt-row chunks keyed by tile index — zero shifting copies
-            # (round 4; the bwd spill arena pioneered the scheme).  The
-            # tap offsets o = j*d are Tt-multiples exactly when
-            # d % Tt == 0 (always true for power-of-two schedules, since
-            # Hl > Tt with K<=3 forces d >= Tt); other dilations keep the
-            # ordered-chunk shifting fallback.
-            ring = Hl > Tt and d % Tt == 0
-            nc = Hl // Tt if ring else 0
+            xcur_ref = x0_ref
+            for l in range(L):
+                d = dils[l]
+                Hl = (K - 1) * d
+                roff = hist_offs[l]
+                # layers whose history exceeds one tile address it as a RING
+                # of Tt-row chunks keyed by tile index — zero shifting copies
+                # (round 4; the bwd spill arena pioneered the scheme).  The
+                # tap offsets o = j*d are Tt-multiples exactly when
+                # d % Tt == 0 (always true for power-of-two schedules, since
+                # Hl > Tt with K<=3 forces d >= Tt); other dilations keep the
+                # ordered-chunk shifting fallback.
+                ring = Hl > Tt and d % Tt == 0
+                nc = Hl // Tt if ring else 0
 
-            # ---- dilated conv: K taps, each <=2 contiguous-slice dots
-            # (tap j sees x[t - (K-1-j)*d], ops/conv.py::dilated_conv_taps)
-            acc = jnp.dot(m2(xcur_ref[:, :, :], R), tapw[l, (K - 1) * R:K * R, :],
-                          preferred_element_type=jnp.float32)
-            pre[...] = acc.reshape(B, Tt, D2)
-            if not gate_fold:
-                # condition + bias, broadcast per FR-sample frame
-                for f in range(Ft):
-                    pre[:, f * FR:(f + 1) * FR, :] = (
-                        pre[:, f * FR:(f + 1) * FR, :]
-                        + lc_ref[l, f, :, :][:, None, :])
-            for j in range(K - 1):
-                o = (K - 1 - j) * d
-                w = tapw[l, j * R:(j + 1) * R, :]
-                m_h = min(o, Tt)
-                if ring:
-                    # the o >= Tt tap reads exactly the chunk written at
-                    # tile i - o/Tt (zeros before it exists = causal pad)
-                    ci = jnp.remainder(i - o // Tt, nc)
-                    hseg = hist[:, pl.ds(roff + ci * Tt, Tt), :]
-                else:
-                    hseg = hist[:, roff + Hl - o: roff + Hl - o + m_h, :]
-                hout = jnp.dot(m2(hseg, R), w,
-                               preferred_element_type=jnp.float32)
-                pre[:, 0:m_h, :] = pre[:, 0:m_h, :] \
-                    + hout.reshape(B, m_h, D2)
-                if o < Tt:
-                    tseg = xcur_ref[:, 0:Tt - o, :]
-                    tout = jnp.dot(m2(tseg, R), w,
-                                   preferred_element_type=jnp.float32)
-                    pre[:, o:Tt, :] = pre[:, o:Tt, :] \
-                        + tout.reshape(B, Tt - o, D2)
-
-            # ---- history update: keep the last Hl rows of (hist || tile)
-            if ring:
-                ci = jnp.remainder(i, nc)
-                hist[:, pl.ds(roff + ci * Tt, Tt), :] = xcur_ref[:, :, :]
-            elif Hl <= Tt:
-                hist[:, roff:roff + Hl, :] = xcur_ref[:, Tt - Hl:Tt, :]
-            else:
-                nshift = Hl - Tt
-                c0 = 0
-                while c0 < nshift:           # ordered chunks: each reads
-                    ch = min(Tt, nshift - c0)  # ahead of the next write
-                    hist[:, roff + c0:roff + c0 + ch, :] = \
-                        hist[:, roff + c0 + Tt:roff + c0 + Tt + ch, :]
-                    c0 += ch
-                hist[:, roff + nshift:roff + Hl, :] = xcur_ref[:, :, :]
-
-            # ---- gate (wavenet_ops.py:112-113 / Magenta config.py:345-348)
-            # The per-frame condition+bias add is FUSED into the
-            # transcendental pass (PERF.md #33: the kernel is a serial
-            # MXU+VPU stream, so the former full-tile f32 RMW over pre
-            # was pure wall time) — this also matches the XLA path's
-            # conv-then-condition summation order exactly.
-            slot = l % 2
-            if l >= 2:
-                act_dma(slot, l - 2).wait()
-            if gate_fold:
-                for f in range(Ft):
-                    fs = slice(f * FR, (f + 1) * FR)
-                    seg = pre[:, fs, :] + lc_ref[l, f, :, :][:, None, :]
-                    if tanh_first:
-                        fseg = jnp.tanh(seg[:, :, :D]).astype(cdtype)
-                        gseg = jax.nn.sigmoid(
-                            seg[:, :, D:]).astype(cdtype)
+                # ---- dilated conv: K taps, each <=2 contiguous-slice dots
+                # (tap j sees x[t - (K-1-j)*d], ops/conv.py::dilated_conv_taps)
+                acc = jnp.dot(m2(xcur_ref[:, :, :], R), tapw[l, (K - 1) * R:K * R, :],
+                              preferred_element_type=jnp.float32)
+                pre[...] = acc.reshape(B, Tt, D2)
+                if not gate_fold:
+                    # condition + bias, broadcast per FR-sample frame
+                    for f in range(Ft):
+                        pre[:, f * FR:(f + 1) * FR, :] = (
+                            pre[:, f * FR:(f + 1) * FR, :]
+                            + lc_ref[l, f, :, :][:, None, :])
+                for j in range(K - 1):
+                    o = (K - 1 - j) * d
+                    w = tapw[l, j * R:(j + 1) * R, :]
+                    m_h = min(o, Tt)
+                    if ring:
+                        # the o >= Tt tap reads exactly the chunk written at
+                        # tile i - o/Tt (zeros before it exists = causal pad)
+                        ci = jnp.remainder(i - o // Tt, nc)
+                        hseg = hist[:, pl.ds(roff + ci * Tt, Tt), :]
                     else:
-                        fseg = jax.nn.sigmoid(
-                            seg[:, :, :D]).astype(cdtype)
-                        gseg = jnp.tanh(seg[:, :, D:]).astype(cdtype)
-                    actsl[slot, :, fs, :D] = fseg
-                    actsl[slot, :, fs, D:] = gseg
-                    gbuf[:, fs, :] = fseg * gseg
-            else:
-                a = pre[:, :, :D]
-                b = pre[:, :, D:]
-                if tanh_first:
-                    f16 = jnp.tanh(a).astype(cdtype)
-                    g16 = jax.nn.sigmoid(b).astype(cdtype)
+                        hseg = hist[:, roff + Hl - o: roff + Hl - o + m_h, :]
+                    hout = jnp.dot(m2(hseg, R), w,
+                                   preferred_element_type=jnp.float32)
+                    pre[:, 0:m_h, :] = pre[:, 0:m_h, :] \
+                        + hout.reshape(B, m_h, D2)
+                    if o < Tt:
+                        tseg = xcur_ref[:, 0:Tt - o, :]
+                        tout = jnp.dot(m2(tseg, R), w,
+                                       preferred_element_type=jnp.float32)
+                        pre[:, o:Tt, :] = pre[:, o:Tt, :] \
+                            + tout.reshape(B, Tt - o, D2)
+
+                # ---- history update: keep the last Hl rows of (hist || tile)
+                if ring:
+                    ci = jnp.remainder(i, nc)
+                    hist[:, pl.ds(roff + ci * Tt, Tt), :] = xcur_ref[:, :, :]
+                elif Hl <= Tt:
+                    hist[:, roff:roff + Hl, :] = xcur_ref[:, Tt - Hl:Tt, :]
                 else:
-                    f16 = jax.nn.sigmoid(a).astype(cdtype)
-                    g16 = jnp.tanh(b).astype(cdtype)
-                actsl[slot, :, :, :D] = f16
-                actsl[slot, :, :, D:] = g16
-                gbuf[:, :, :] = f16 * g16
-            act_dma(slot, l).start()
-            last_act[slot] = (slot, l)
+                    nshift = Hl - Tt
+                    c0 = 0
+                    while c0 < nshift:           # ordered chunks: each reads
+                        ch = min(Tt, nshift - c0)  # ahead of the next write
+                        hist[:, roff + c0:roff + c0 + ch, :] = \
+                            hist[:, roff + c0 + Tt:roff + c0 + Tt + ch, :]
+                        c0 += ch
+                    hist[:, roff + nshift:roff + Hl, :] = xcur_ref[:, :, :]
 
-            # ---- skip + residual 1x1s as ONE [B*Tt, D] x [D, S+R] dot
-            # (lane-concat fused dot, PERF #12/#25); each output column
-            # reads exactly one source kernel, so accumulation is
-            # bit-identical to the separate dots
-            skrs = jnp.dot(m2(gbuf[:, :, :], D), srw_cat[l],
-                           preferred_element_type=jnp.float32)
-            sk = skrs[:, :S]
-            if l == 0:
-                skipacc[...] = sk.reshape(B, Tt, S)
-            else:
-                skipacc[...] = skipacc[...] + sk.reshape(B, Tt, S)
+                # ---- gate (wavenet_ops.py:112-113 / Magenta config.py:345-348)
+                # The per-frame condition+bias add is FUSED into the
+                # transcendental pass (PERF.md #33: the kernel is a serial
+                # MXU+VPU stream, so the former full-tile f32 RMW over pre
+                # was pure wall time) — this also matches the XLA path's
+                # conv-then-condition summation order exactly.
+                slot = l % 2
+                if l >= 2:
+                    act_dma(slot, l - 2).wait()
+                if gate_fold:
+                    for f in range(Ft):
+                        fs = slice(f * FR, (f + 1) * FR)
+                        seg = pre[:, fs, :] + lc_ref[l, f, :, :][:, None, :]
+                        if tanh_first:
+                            fseg = jnp.tanh(seg[:, :, :D]).astype(cdtype)
+                            gseg = jax.nn.sigmoid(
+                                seg[:, :, D:]).astype(cdtype)
+                        else:
+                            fseg = jax.nn.sigmoid(
+                                seg[:, :, :D]).astype(cdtype)
+                            gseg = jnp.tanh(seg[:, :, D:]).astype(cdtype)
+                        actsl[slot, :, fs, :D] = fseg
+                        actsl[slot, :, fs, D:] = gseg
+                        gbuf[:, fs, :] = fseg * gseg
+                else:
+                    a = pre[:, :, :D]
+                    b = pre[:, :, D:]
+                    if tanh_first:
+                        f16 = jnp.tanh(a).astype(cdtype)
+                        g16 = jax.nn.sigmoid(b).astype(cdtype)
+                    else:
+                        f16 = jax.nn.sigmoid(a).astype(cdtype)
+                        g16 = jnp.tanh(b).astype(cdtype)
+                    actsl[slot, :, :, :D] = f16
+                    actsl[slot, :, :, D:] = g16
+                    gbuf[:, :, :] = f16 * g16
+                act_dma(slot, l).start()
+                last_act[slot] = (slot, l)
 
-            # ---- residual
-            rs = skrs[:, S:]
-            buf_idx = l % 2
-            if l >= 2:
-                x_dma(buf_idx, l - 2).wait()
-            out_buf = bufs[buf_idx]
-            out_buf[...] = (xcur_ref[:, :, :].astype(jnp.float32)
-                            + rs.reshape(B, Tt, R)
-                            + res_b[l][None, None, :]).astype(cdtype)
-            if l <= L - 2:
-                x_dma(buf_idx, l).start()
-            xcur_ref = out_buf
+                # ---- skip + residual 1x1s as ONE [B*Tt, D] x [D, S+R] dot
+                # (lane-concat fused dot, PERF #12/#25); each output column
+                # reads exactly one source kernel, so accumulation is
+                # bit-identical to the separate dots
+                skrs = jnp.dot(m2(gbuf[:, :, :], D), srw_cat[l],
+                               preferred_element_type=jnp.float32)
+                sk = skrs[:, :S]
+                if l == 0:
+                    skipacc[...] = sk.reshape(B, Tt, S)
+                else:
+                    skipacc[...] = skipacc[...] + sk.reshape(B, Tt, S)
 
-        skip_out[...] = skipacc[...].astype(cdtype)
-        # retire every DMA still in flight before the tile ends: act DMAs
-        # for layers <= L-3 and x DMAs for j <= L-3 were waited at slot
-        # reuse inside the loop, so exactly these remain
-        for slot, l in last_act.values():
-            act_dma(slot, l).wait()
-        x_dma((L - 2) % 2, L - 2).wait()
-        x0_dma.wait()
+                # ---- residual
+                rs = skrs[:, S:]
+                buf_idx = l % 2
+                if l >= 2:
+                    x_dma(buf_idx, l - 2).wait()
+                out_buf = bufs[buf_idx]
+                out_buf[...] = (xcur_ref[:, :, :].astype(jnp.float32)
+                                + rs.reshape(B, Tt, R)
+                                + res_b[l][None, None, :]).astype(cdtype)
+                if l <= (L - 1 if with_xout else L - 2):
+                    x_dma(buf_idx, l).start()
+                xcur_ref = out_buf
 
+            skip_out[...] = skipacc[...].astype(cdtype)
+            # retire every DMA still in flight before the tile ends: act DMAs
+            # for layers <= L-3 and x DMAs for j <= L-3 were waited at slot
+            # reuse inside the loop, so exactly these remain
+            for slot, l in last_act.values():
+                act_dma(slot, l).wait()
+            x_dma((L - 2) % 2, L - 2).wait()
+            if with_xout:
+                x_dma((L - 1) % 2, L - 1).wait()
+            x0_dma.wait()
+
+        if with_start:
+            # tiles covering the start-offset prefix are skipped
+            # entirely: nothing is computed, fetched blocks are
+            # ignored, and their output rows (sliced off by the
+            # caller) and act/xstack rows (skipped identically
+            # by the backward sweeps) stay unwritten
+            pl.when(i >= s0)(_tile)
+        else:
+            _tile()
+
+    def imap(fn):
+        # scalar-prefetch operands add a trailing ref arg to index maps
+        return (lambda i, s: fn(i)) if with_start else fn
+
+    LX = L + 1 if with_xout else L   # xstack entries (L = stream out)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1 if with_start else 0,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # tapw
@@ -1396,11 +1462,12 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             pl.BlockSpec(memory_space=pltpu.VMEM),                 # res_b
             # frame axis third-from-last: Mosaic requires the last two
             # block dims be 8/128-divisible or whole
-            pl.BlockSpec((L, Ft, B, D2), lambda i: (0, i, 0, 0)),  # lc_encb
-            pl.BlockSpec((B, Tt, R), lambda i: (0, i, 0)),         # x0
+            pl.BlockSpec((L, Ft, B, D2),
+                         imap(lambda i: (0, i, 0, 0))),            # lc_encb
+            pl.BlockSpec((B, Tt, R), imap(lambda i: (0, i, 0))),   # x0
         ],
         out_specs=(
-            pl.BlockSpec((B, Tt, S), lambda i: (0, i, 0)),         # skip_sum
+            pl.BlockSpec((B, Tt, S), imap(lambda i: (0, i, 0))),   # skip_sum
             pl.BlockSpec(memory_space=pltpu.ANY),                  # act
             pl.BlockSpec(memory_space=pltpu.ANY),                  # xstack
         ),
@@ -1419,7 +1486,7 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
     )
 
     @jax.jit
-    def _fwd_call(kernel, skipw, resw, res_b, lc_encb, x0):
+    def _fwd_call(s_rows, kernel, skipw, resw, res_b, lc_encb, x0):
         tapw16 = kernel.reshape(L, K * R, D2).astype(cdtype)
         srw_cat = jnp.concatenate(
             [skipw.astype(cdtype), resw.astype(cdtype)], axis=2)
@@ -1427,36 +1494,44 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         lc32 = lc_encb.astype(jnp.float32)
         x016 = x0.astype(cdtype)
         # xin[l] = the INPUT of layer l (xin[0] = x0) — the dW pass and
-        # the XLA fallbacks consume it
+        # the XLA fallbacks consume it; with_xout appends entry L = the
+        # stack's residual-stream OUTPUT (layer L-1's output), read back
+        # as x_out for the SP layer-group chain (parallel/timeshard.py)
+        operands = ([s_rows] if with_start else []) \
+            + [tapw16, srw_cat, res_b32, lc32, x016]
         skip_sum, act, xpad = pl.pallas_call(
             kernel_body,
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((B, T, S), cdtype),
                 jax.ShapeDtypeStruct((L, B, T, D2), cdtype),
-                jax.ShapeDtypeStruct((L, B, T + PH, R), cdtype),
+                jax.ShapeDtypeStruct((LX, B, T + PH, R), cdtype),
             ),
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=int(_TRAIN_VMEM_BUDGET_MB * 2 ** 20) +
                 8 * 2 ** 20),
             interpret=interpret,
-        )(tapw16, srw_cat, res_b32, lc32, x016)
+        )(*operands)
         return skip_sum, act, xpad
 
     @jax.custom_vjp
-    def fused(kernel, skipw, resw, res_b, lc_encb, x0):
-        skip_sum, _, _ = _fwd_call(kernel, skipw, resw, res_b, lc_encb, x0)
+    def fused(s_rows, kernel, skipw, resw, res_b, lc_encb, x0):
+        skip_sum, _, xpad = _fwd_call(s_rows, kernel, skipw, resw, res_b,
+                                      lc_encb, x0)
+        if with_xout:
+            return skip_sum, xpad[L, :, PH:, :]
         return skip_sum
 
-    def fused_fwd(kernel, skipw, resw, res_b, lc_encb, x0):
-        skip_sum, act, xpad = _fwd_call(kernel, skipw, resw, res_b,
-                                        lc_encb, x0)
-        return skip_sum, (act, xpad, kernel.astype(cdtype),
-                          skipw.astype(cdtype), resw.astype(cdtype),
-                          x0.astype(cdtype))
+    def fused_fwd(s_rows, kernel, skipw, resw, res_b, lc_encb, x0):
+        skip_sum, act, xpad = _fwd_call(s_rows, kernel, skipw, resw,
+                                        res_b, lc_encb, x0)
+        out = (skip_sum, xpad[L, :, PH:, :]) if with_xout else skip_sum
+        return out, (act, xpad, kernel.astype(cdtype),
+                     skipw.astype(cdtype), resw.astype(cdtype),
+                     x0.astype(cdtype), s_rows)
 
-    def fused_bwd(res, dskip):
+    def fused_bwd(res, ct):
         """Matmul-only backward over the saved activations.
 
         Per layer (reverse), with t=tanh(a), s=sigmoid(b) saved bf16:
@@ -1467,16 +1542,29 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         The gate derivative consumes the SAVED activations, so the
         backward has no transcendentals and no convolution ops.
         """
-        (act, xpad, k16, skipw16, resw16, x016) = res
+        (act, xpad, k16, skipw16, resw16, x016, s_rows) = res
+        if with_xout:
+            dskip, dxout = ct
+        else:
+            dskip, dxout = ct, None
         dskip16 = dskip.astype(cdtype)
 
         # FUSED chain+dW sweeps (PERF.md #33): dpre stays in VMEM; dk
         # accumulates inside the reverse chain; layer groups keep the
         # resident pieces under budget.  Falls back to the two-kernel
         # path (chain streaming dpre + separate dW pass) when no group
-        # plan fits or the A/B hook disables it.
+        # plan fits or the A/B hook disables it.  The SP start-offset /
+        # stream-output variants REQUIRE the sweep path (the fallbacks
+        # neither skip tiles nor seed dX) — fused_sp_eligible gates on
+        # exactly this plan, so the assert cannot fire for SP callers.
         plan_f = None
-        if _BWD_FORM == "auto" and _BWD_FUSED_DK == "auto":
+        if with_start or with_xout:
+            plan_f = _plan_bwd_fused_dk(L, K, R, D, S, dils, B, T, FR,
+                                        itemsize, dsk_in_only=True,
+                                        tt_cap=tt_cap)
+            assert plan_f is not None, \
+                "SP fused stack needs a dsk-in sweep backward plan"
+        elif _BWD_FORM == "auto" and _BWD_FUSED_DK == "auto":
             plan_f = _plan_bwd_fused_dk(L, K, R, D, S, dils, B, T, FR,
                                         itemsize, _FORCE_DSK_OUT,
                                         _FORCE_FUSED_LG)
@@ -1488,17 +1576,21 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
             Lg = plan_f["Lg"]
             ng = L // Lg
             parts = []
-            dxs = None
+            # with_xout: the top sweep seeds its dX chain from the
+            # stream-output cotangent instead of zeros (first=False)
+            dxs = dxout.astype(cdtype) if with_xout else None
             for g in reversed(range(ng)):
                 offs_g, modes_g, AR_g = plan_f["layouts"][g]
                 call = _make_bwd_sweep_kernel(
                     L, K, R, D, S, dils, B, T, FR, gate_order,
                     cdtype_name, interpret, g * Lg, Lg, plan_f["Tt"],
                     plan_f["Ft"], offs_g, modes_g, AR_g,
-                    plan_f["dsk_in"], g == ng - 1, PH, _GATE_PRECOMP)
+                    plan_f["dsk_in"], g == ng - 1 and not with_xout, PH,
+                    _GATE_PRECOMP, with_start=with_start)
                 dxs, dlc_g, dsk_g, drs_g, drb_g, dk_g = call(
                     kcat[g * Lg:(g + 1) * Lg],
-                    rs_cat[g * Lg:(g + 1) * Lg], dskip16, dxs, act, xpad)
+                    rs_cat[g * Lg:(g + 1) * Lg], dskip16, dxs, act, xpad,
+                    s_rows=s_rows if with_start else None)
                 parts.append((dlc_g, dsk_g, drs_g, drb_g, dk_g))
             parts.reverse()          # back to layer order
             dx0 = dxs
@@ -1512,7 +1604,8 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                 gated_all = act[:, :, :, :D] * act[:, :, :, D:]
                 dsk = jnp.einsum("lbtd,bts->lds", gated_all, dskip16,
                                  preferred_element_type=jnp.float32)
-            return (dk.astype(cdtype), dsk.astype(cdtype),
+            return (jnp.zeros((1,), jnp.float32),
+                    dk.astype(cdtype), dsk.astype(cdtype),
                     drs.astype(cdtype), drb.astype(cdtype), dlc,
                     dx0.astype(cdtype))
 
@@ -1564,7 +1657,8 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
                             preferred_element_type=jnp.float32))
                     dks.append(jnp.stack(taps))
                 dk = jnp.stack(dks)
-            return (dk.astype(cdtype), dsk.astype(cdtype),
+            return (jnp.zeros((1,), jnp.float32),
+                    dk.astype(cdtype), dsk.astype(cdtype),
                     drs.astype(cdtype), drb.astype(cdtype), dlc,
                     dx0.astype(cdtype))
         # per-layer grads collect in python lists and stack ONCE — a
@@ -1647,17 +1741,50 @@ def _make_fused_stack(L, K, R, D, S, dils, B, T, FR, gate_order,
         # primal dtypes: the caller passes layer params and x0 in the
         # compute dtype (bf16 tree under train_dtype='bf16', f32 else)
         # and lc_encb in f32 — cotangents must match
-        return (dk.astype(cdtype), dsk.astype(cdtype), drs.astype(cdtype),
+        return (jnp.zeros((1,), jnp.float32),
+                dk.astype(cdtype), dsk.astype(cdtype), drs.astype(cdtype),
                 drb.astype(cdtype), dlc, dX.astype(cdtype))
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
 
 
+def fused_sp_eligible(cfg, B, T, t_cond, compute_dtype,
+                      layer_range=None, tt_cap=512) -> bool:
+    """Static gate for the SP start-offset fused stack
+    (parallel/timeshard.py, decoder_halo='fused'): the same checks as
+    fused_stack_eligible on the halo-EXTENDED shard shape, restricted to
+    the sweep backward with in-kernel dsk — the only backward that can
+    skip the start-offset tiles (see _plan_bwd_fused_dk's dsk_in_only
+    note) — and optionally to a layer sub-range (the per-group chain)."""
+    lo, hi = layer_range if layer_range is not None else (0, cfg.num_layers)
+    L = hi - lo
+    dils = tuple(cfg.dilation_rates[lo:hi])
+    if compute_dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    K, R, D, S = (cfg.kernel_size, cfg.residual_filters,
+                  cfg.dilation_filters, cfg.skip_filters)
+    if R % 128 or (2 * D) % 128 or S % 128 or K < 2 or L < 2:
+        return False
+    if T % t_cond:
+        return False
+    FR = T // t_cond
+    if FR < 8:
+        return False
+    itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
+    if _plan(L, K, R, D, S, dils, B, T, FR, itemsize,
+             tt_cap=tt_cap) is None:
+        return False
+    return _plan_bwd_fused_dk(L, K, R, D, S, dils, B, T, FR, itemsize,
+                              dsk_in_only=True, tt_cap=tt_cap) is not None
+
+
 def fused_residual_stack(lp, cfg, x0, local_condition,
                          global_condition=None, *,
                          gate_order: str = "tanh_first",
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         start_rows=None, layer_range=None,
+                         with_xout: bool = False, tt_cap: int = 512):
     """Run the residual stack through the fused kernel.
 
     Args:
@@ -1667,14 +1794,27 @@ def fused_residual_stack(lp, cfg, x0, local_condition,
         res_bias [L,R].
       x0: residual stream after the preprocess conv, [B, T, R].
       local_condition: [B, T_cond, C].
+      start_rows: optional traced scalar — number of leading rows (a
+        multiple of the plan's tile size; timeshard.py rounds the halo to
+        guarantee it) whose tiles are SKIPPED, forward and backward: the
+        SP recompute halo on the shard at the global sequence start.
+      layer_range: optional (lo, hi) — run only layers [lo, hi) of the
+        stack (the SP per-group chain; lp and the dilation schedule are
+        sliced here).
+      with_xout: also return the group's residual-stream OUTPUT
+        [B, T, R] (layer hi-1's output), differentiable.
     Returns skip_sum [B, T, S] f32 INCLUDING the summed skip biases (the
-    caller adds the skip-start projection).
+    caller adds the skip-start projection), or (skip_sum, x_out) when
+    with_xout.
     """
     B, T, R = x0.shape
     t_cond = local_condition.shape[1]
     FR = T // t_cond
     cdtype = x0.dtype
     cdtype_name = "bf16" if cdtype == jnp.bfloat16 else "f32"
+    lo, hi = layer_range if layer_range is not None else (0, cfg.num_layers)
+    if layer_range is not None:
+        lp = jax.tree_util.tree_map(lambda v: v[lo:hi], lp)
     # per-layer condition projection + conv bias, folded once
     # (wavenet_ops.py:93-101; bias from conv1d_v2, wavenet_ops.py:66-76)
     lc_encb = jnp.einsum("bsc,lcf->lsbf", local_condition, lp["lc_kernel"],
@@ -1693,11 +1833,18 @@ def fused_residual_stack(lp, cfg, x0, local_condition,
         if "gc_bias" in lp:
             lc_encb = lc_encb + lp["gc_bias"].astype(
                 jnp.float32)[:, None, None, :]
+    with_start = start_rows is not None
     fused = _make_fused_stack(
-        cfg.num_layers, cfg.kernel_size, cfg.residual_filters,
-        cfg.dilation_filters, cfg.skip_filters, tuple(cfg.dilation_rates),
-        B, T, FR, gate_order, cdtype_name, interpret, _FWD_GATE_FOLD)
-    skip_sum = fused(lp["kernel"], lp["skip_kernel"], lp["res_kernel"],
-                     lp["res_bias"], lc_encb, x0)
-    return skip_sum.astype(jnp.float32) \
+        hi - lo, cfg.kernel_size, cfg.residual_filters,
+        cfg.dilation_filters, cfg.skip_filters,
+        tuple(cfg.dilation_rates[lo:hi]),
+        B, T, FR, gate_order, cdtype_name, interpret, _FWD_GATE_FOLD,
+        with_start, with_xout, tt_cap)
+    s_arr = (jnp.reshape(start_rows, (1,)).astype(jnp.float32)
+             if with_start else jnp.zeros((1,), jnp.float32))
+    out = fused(s_arr, lp["kernel"], lp["skip_kernel"], lp["res_kernel"],
+                lp["res_bias"], lc_encb, x0)
+    skip_sum, x_out = out if with_xout else (out, None)
+    skip = skip_sum.astype(jnp.float32) \
         + jnp.sum(lp["skip_bias"].astype(jnp.float32), axis=0)
+    return (skip, x_out) if with_xout else skip
