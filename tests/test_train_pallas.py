@@ -568,3 +568,111 @@ def test_fused_start_rows_with_groups(key):
     r2 = _frs(params, cfg, xor_, lc[:, hf:], layer_range=(2, 4))
     np.testing.assert_allclose(np.asarray(got), np.asarray(r1 + r2),
                                atol=2e-4, rtol=1e-4)
+
+
+# ---------------- fused epilogue (round 5) -------------------------------
+
+
+@pytest.mark.slow
+def test_fused_epilogue_matches_xla(key):
+    """fused_epilogue == relu -> 1x1(+cond) -> relu -> 1x1 -> mean CE
+    (wavenet.py:286-301 + wavenet_loss), values AND grads w.r.t. the
+    head params, the skip stream, and the condition."""
+    from vqvae_wavenet_tpu.ops.conv import add_condition
+    from vqvae_wavenet_tpu.models.wavenet import wavenet_loss
+
+    cfg = tiny_cfg()
+    S, Q, B, T, C = 128, 256, 1, 192, 128
+    params, _, lc = make_inputs(cfg, B=B, T=T, t_cond=T // 8,
+                                dtype=jnp.bfloat16, seed=61)
+    pp1 = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                 params["postprocess1"])
+    pp2 = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                 params["postprocess2"])
+    skip = jax.random.normal(jax.random.PRNGKey(62), (B, T, S)) * 0.5
+    labels = jax.random.randint(jax.random.PRNGKey(63), (B, T), 0, Q)
+
+    def xla_ref(pp1, pp2, skip, lc):
+        net = jax.nn.relu(skip).astype(jnp.bfloat16)
+        net = jnp.einsum("btc,cf->btf", net, pp1["kernel"][0],
+                         preferred_element_type=jnp.float32) + pp1["bias"]
+        net = add_condition(net, lc, pp1["lc_kernel"])
+        net = jax.nn.relu(net).astype(jnp.bfloat16)
+        net = jnp.einsum("btc,cf->btf", net, pp2["kernel"][0],
+                         preferred_element_type=jnp.float32) + pp2["bias"]
+        return wavenet_loss(net.reshape(-1, Q), labels.reshape(-1))
+
+    def fe(pp1, pp2, skip, lc):
+        return train_pallas.fused_epilogue(pp1, pp2, skip, lc, None,
+                                           labels, interpret=True)
+
+    lr, gr = jax.value_and_grad(xla_ref, argnums=(0, 1, 2, 3))(
+        pp1, pp2, skip, lc)
+    lf, gf = jax.value_and_grad(fe, argnums=(0, 1, 2, 3))(
+        pp1, pp2, skip, lc)
+    assert abs(float(lr) - float(lf)) < 2e-5, (float(lr), float(lf))
+    flat_r = jax.tree_util.tree_flatten_with_path(gr)[0]
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(gf)[0])
+    for kp, vr in flat_r:
+        vf = np.asarray(flat_f[kp], np.float64)
+        vr = np.asarray(vr, np.float64)
+        scale = np.abs(vr).max() + 1e-9
+        # 2e-2: the kernel saves the softmax probabilities bf16 (the same
+        # class of saved-activation rounding as the main fused stack's
+        # bf16 gate activations), while the XLA reference's dlogits stay
+        # f32 — the value parity above pins the forward to 2e-5
+        assert np.abs(vr - vf).max() / scale < 2e-2, \
+            (jax.tree_util.keystr(kp), np.abs(vr - vf).max() / scale)
+
+
+@pytest.mark.slow
+def test_fused_epilogue_in_vqvae_forward(key):
+    """The vqvae_forward bf16 path with the fused epilogue engaged
+    (engine='pallas', interpret) must match _EPILOGUE='off' — same loss,
+    same full gradient tree (covers the lc/speaker-concat cotangent
+    split and the head-param grads through the fold)."""
+    import dataclasses
+    from vqvae_wavenet_tpu.config import ModelConfig
+    from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
+
+    wn = WavenetConfig(
+        quantization_channels=256, num_cycles=1, num_cycle_layers=4,
+        dilation_rates=[1, 2, 4, 8], kernel_size=3, dilation_filters=64,
+        skip_filters=128, residual_filters=128, preprocess_kernel_size=8,
+        preprocess_filters=128)
+    cfg = ModelConfig(encoder="64", use_vq=True, speaker_embedding=8,
+                      k=8, latent_dim=120, beta=0.25, wavenet=wn,
+                      learning_rate_schedule={0: 1e-3},
+                      train_dtype="bf16", train_engine="pallas")
+    params, state = init_vqvae(key, cfg, num_speakers=4)
+    B, T = 1, 192
+    x = jax.random.uniform(jax.random.PRNGKey(71), (B, T, 1),
+                           minval=-0.9, maxval=0.9)
+    y = jax.nn.one_hot(jnp.arange(B) % 4, 4)[:, None, :]
+
+    def run(p):
+        return vqvae_forward(p, state, cfg, x, y, train=True)[0]
+
+    import vqvae_wavenet_tpu.ops.train_pallas as tp
+    assert tp._EPILOGUE == "auto"
+    l_fe, g_fe = jax.value_and_grad(run)(params)
+    tp._EPILOGUE = "off"
+    try:
+        l_ref, g_ref = jax.value_and_grad(run)(params)
+    finally:
+        tp._EPILOGUE = "auto"
+    assert abs(float(l_fe) - float(l_ref)) < 2e-5
+    flat_fe = dict(jax.tree_util.tree_leaves_with_path(g_fe))
+    import optax
+    gn = float(optax.global_norm(g_ref))
+    # the same gate as test_sp_bf16_loss_and_grads_match_single: the
+    # epilogue's dskip is bf16 (saved-probs rounding) and seeds the whole
+    # stack backward, so deltas are single bf16 ulps; bias-into-norm
+    # leaves are cancellation-dominated and gated on the GLOBAL L2 scale
+    for path, ref in jax.tree_util.tree_leaves_with_path(g_ref):
+        got = np.asarray(flat_fe[path], np.float64)
+        ref = np.asarray(ref, np.float64)
+        nd = np.linalg.norm(got - ref)
+        rel = nd / (np.linalg.norm(ref) + 1e-12)
+        assert rel < 2e-2 or nd < 1e-3 * gn, \
+            f"{path}: rel L2 {rel}, abs {nd} vs global {gn}"

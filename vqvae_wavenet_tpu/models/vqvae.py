@@ -166,20 +166,41 @@ def vqvae_forward(params, state, cfg: ModelConfig, x, y, *, train: bool,
         # (mu-law bin edges must not move), loss/softmax stay f32
         from vqvae_wavenet_tpu.models.wavenet import wavenet_logits
         from vqvae_wavenet_tpu.ops.mu_law import mu_law_encode
+        from vqvae_wavenet_tpu.ops import train_pallas as tp
         dec16 = jax.tree_util.tree_map(
             lambda v: v.astype(jnp.bfloat16), params["decoder"])
-        labels = mu_law_encode(x, cfg.wavenet.quantization_channels,
-                               to_int=True).reshape(-1)
-        logits = wavenet_logits(dec16, cfg.wavenet,
-                                x.astype(jnp.bfloat16),
-                                lc.astype(jnp.bfloat16),
-                                engine=cfg.train_engine)
-        logits = logits.astype(jnp.float32).reshape(
-            -1, cfg.wavenet.quantization_channels)
+        Q = cfg.wavenet.quantization_channels
+        labels2 = mu_law_encode(x, Q, to_int=True)[..., 0]   # [B, T]
+        lc16 = lc.astype(jnp.bfloat16)
+        on_tpu = jax.default_backend() == "tpu"
+        use_fe = (cfg.train_engine != "xla" and tp._EPILOGUE == "auto"
+                  and (on_tpu or cfg.train_engine == "pallas")
+                  and "lc_kernel" in dec16["postprocess1"]
+                  and tp.fused_epilogue_eligible(
+                      cfg.wavenet.skip_filters, Q, x.shape[0], x.shape[1],
+                      lc.shape[1]))
+        if use_fe:
+            # round 5: the postprocess heads + CE run as one fused
+            # kernel pair over the stack's skip output instead of XLA's
+            # per-op chain (~3.4 ms fwd+bwd standalone, exp_r5_epilogue)
+            skip = wavenet_logits(dec16, cfg.wavenet,
+                                  x.astype(jnp.bfloat16), lc16,
+                                  engine=cfg.train_engine,
+                                  return_skip=True)
+            recon = tp.fused_epilogue(
+                dec16["postprocess1"], dec16["postprocess2"], skip, lc16,
+                None, labels2, interpret=not on_tpu)
+        else:
+            logits = wavenet_logits(dec16, cfg.wavenet,
+                                    x.astype(jnp.bfloat16), lc16,
+                                    engine=cfg.train_engine)
+            recon = wavenet_loss(
+                logits.astype(jnp.float32).reshape(-1, Q),
+                labels2.reshape(-1))
     else:
         logits, labels = wavenet_forward(params["decoder"], cfg.wavenet,
                                          x, lc, engine=cfg.train_engine)
-    recon = wavenet_loss(logits, labels)
+        recon = wavenet_loss(logits, labels)
     loss = recon
     aux["reconstruction_loss"] = recon
 

@@ -122,7 +122,7 @@ def _cycle_pattern(cfg: WavenetConfig):
 def wavenet_logits(params, cfg: WavenetConfig, inputs,
                    local_condition=None, global_condition=None,
                    *, gate_order: str = "tanh_first", pad_mask=None,
-                   engine: str = "auto"):
+                   engine: str = "auto", return_skip: bool = False):
     """Teacher-forced logits, unflattened [B, T, Q] (the building block for
     both wavenet_forward and the time-sharded SP path in
     parallel/timeshard.py).
@@ -282,6 +282,12 @@ def wavenet_logits(params, cfg: WavenetConfig, inputs,
             return (net, skip), None
 
         (net, skip), _ = lax.scan(layer_step, (net, skip), (lp, dilations))
+
+    if return_skip:
+        # the pre-relu skip sum [B, T, S] f32 — consumed by the fused
+        # epilogue (ops/train_pallas.py::fused_epilogue), which applies
+        # the postprocess heads + CE itself
+        return skip
 
     net = jax.nn.relu(skip).astype(compute_dtype)
     pp1 = params["postprocess1"]

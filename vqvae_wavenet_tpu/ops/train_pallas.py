@@ -1848,3 +1848,262 @@ def fused_residual_stack(lp, cfg, x0, local_condition,
     skip = skip_sum.astype(jnp.float32) \
         + jnp.sum(lp["skip_bias"].astype(jnp.float32), axis=0)
     return (skip, x_out) if with_xout else skip
+
+
+# --------------------------------------------------------------------------
+# FUSED EPILOGUE (round 5, VERDICT r4 ask #4): relu -> 1x1(+condition) ->
+# relu -> 1x1 -> sparse CE as ONE forward kernel + ONE backward kernel over
+# time tiles, replacing XLA's chain of per-op fusions over [B,T,S]/[B,T,Q]
+# streams (wavenet.py:286-301 heads + wavenet.py:175-180 loss; reference
+# Decoder/WaveNet/wavenet.py:94-99 + model.py:90-94).  Measured 3.42 ms
+# fwd+bwd as XLA at the shipped shape (tools/exp_r5_epilogue.py); the
+# kernels keep h1/h2/log-softmax entirely in VMEM, saving only a1 (post-
+# condition relu) and the softmax probabilities for the matmul-only
+# backward.
+# --------------------------------------------------------------------------
+
+# A/B hook: 'auto' = use the fused epilogue when eligible (read at trace
+# time by models/vqvae.py); 'off' = always the XLA heads+CE.
+_EPILOGUE = "auto"
+
+
+def fused_epilogue_eligible(S: int, Q: int, B: int, T: int,
+                            t_cond: int) -> bool:
+    if S % 128 or Q % 128:
+        return False
+    if T % t_cond or T % 64:
+        return False
+    FR = T // t_cond
+    if FR < 8 or 64 % FR:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=16)
+def _make_epilogue(S, Q, B, T, FR, cdtype_name, interpret):
+    cdtype = jnp.bfloat16 if cdtype_name == "bf16" else jnp.float32
+    f32 = jnp.float32
+    # XLA:CPU's DotThunk can't do BF16 x BF16 = F32 for these contraction
+    # layouts; interpret mode casts operands to f32 — bit-identical
+    # (bf16 products are exact in f32, accumulation f32 either way)
+    mdt = f32 if interpret else cdtype
+
+    def mdot(a, b):
+        return jnp.dot(a.astype(mdt), b.astype(mdt),
+                       preferred_element_type=f32)
+
+    def mdotg(a, b, dn):
+        return jax.lax.dot_general(a.astype(mdt), b.astype(mdt), dn,
+                                   preferred_element_type=f32)
+    Tt = next(t for t in (512, 256, 128, 64) if T % t == 0 and t % FR == 0)
+    n_tiles = T // Tt
+    Ft = Tt // FR
+    F = T // FR
+
+    def lane0(s):
+        # a [1,128] vector carrying the scalar s in lane 0 (scalar stores
+        # to VMEM are avoided; the caller sums the vector)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        return jnp.where(lane == 0, s, 0.0)
+
+    def fwd_body(w1, w2, b2, enc2, skip_ref, lab_ref,
+                 nll_ref, a1_ref, probs_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            nll_ref[...] = jnp.zeros_like(nll_ref)
+
+        sk16 = jax.nn.relu(skip_ref[...]).astype(cdtype)
+        h1 = mdot(sk16.reshape(B * Tt, S), w1[...]).reshape(B, Tt, S)
+        # frame-blocked condition add (add_condition semantics) as one
+        # broadcast over the [B, Ft, FR, S] view — no scatter
+        h1 = (h1.reshape(B, Ft, FR, S)
+              + enc2[...].transpose(1, 0, 2)[:, :, None, :]
+              ).reshape(B, Tt, S)
+        a1 = jax.nn.relu(h1).astype(cdtype)
+        a1_ref[...] = a1
+        h2 = mdot(a1.reshape(B * Tt, S), w2[...]) + b2[...]  # [1,Q]
+        m = jnp.max(h2, axis=-1, keepdims=True)
+        e = jnp.exp(h2 - m)
+        se = jnp.sum(e, axis=-1, keepdims=True)
+        probs_ref[...] = (e / se).astype(cdtype).reshape(B, Tt, Q)
+        # label pick in the [B, Tt, Q] view: Mosaic rejects collapsing
+        # the lane dim ((B,Tt) int32 -> (B*Tt,1)) and relayouts of the
+        # lane-reduced picked row sums — so both terms reduce STRAIGHT
+        # to scalars and subtract there
+        lab = lab_ref[...]
+        qiota = jax.lax.broadcasted_iota(jnp.int32, (B, Tt, Q), 2)
+        picked_sum = jnp.sum(jnp.where(qiota == lab[:, :, None],
+                                       h2.reshape(B, Tt, Q), 0.0))
+        lse_sum = jnp.sum(jnp.log(se) + m)
+        nll_ref[...] = nll_ref[...] + lane0(lse_sum - picked_sum)
+
+    def bwd_body(w1t, w2t, scale, enc_skip_ref, a1_ref, probs_ref,
+                 lab_ref, dskip_ref, dlc2_ref, dw1_ref, dw2_ref, db2_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2_ref[...] = jnp.zeros_like(db2_ref)
+
+        lab = lab_ref[...]
+        probs3 = probs_ref[...].astype(f32)
+        qiota = jax.lax.broadcasted_iota(jnp.int32, (B, Tt, Q), 2)
+        dlogits = ((probs3 - jnp.where(qiota == lab[:, :, None], 1.0, 0.0))
+                   * scale[0, 0]).reshape(B * Tt, Q)
+        db2_ref[...] = db2_ref[...] + jnp.sum(dlogits, axis=0,
+                                              keepdims=True)
+        a1 = a1_ref[...]
+        a12 = a1.reshape(B * Tt, S)
+        dn = (((0,), (0,)), ((), ()))
+        dw2_ref[...] = dw2_ref[...] + mdotg(
+            a12, dlogits.astype(cdtype), dn)
+        da1 = mdot(dlogits.astype(cdtype),
+                   w2t[...]).reshape(B, Tt, S)
+        # the relu mask compares in f32 (bf16 compares are unsupported
+        # on this target)
+        dh1 = jnp.where(a1.astype(f32) > 0, da1, 0.0)
+        dlc2_ref[...] = dh1.reshape(B, Ft, FR, S).sum(axis=2) \
+            .transpose(1, 0, 2)
+        sk = enc_skip_ref[...]
+        sk16 = jax.nn.relu(sk).astype(cdtype)
+        dh116 = dh1.astype(cdtype)
+        dw1_ref[...] = dw1_ref[...] + mdotg(
+            sk16.reshape(B * Tt, S), dh116.reshape(B * Tt, S), dn)
+        dsk = mdot(dh116.reshape(B * Tt, S),
+                   w1t[...]).reshape(B, Tt, S)
+        dskip_ref[...] = jnp.where(sk > 0, dsk, 0.0).astype(cdtype)
+
+    def fwd_call(w1, w2, b2, enc2, skip, labels):
+        return pl.pallas_call(
+            fwd_body,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),            # w1
+                pl.BlockSpec(memory_space=pltpu.VMEM),            # w2
+                pl.BlockSpec(memory_space=pltpu.VMEM),            # b2
+                pl.BlockSpec((Ft, B, S), lambda i: (i, 0, 0)),    # enc2
+                pl.BlockSpec((B, Tt, S), lambda i: (0, i, 0)),    # skip
+                pl.BlockSpec((B, Tt), lambda i: (0, i)),          # labels
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 128), lambda i: (0, 0)),         # nll
+                pl.BlockSpec((B, Tt, S), lambda i: (0, i, 0)),    # a1
+                pl.BlockSpec((B, Tt, Q), lambda i: (0, i, 0)),    # probs
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, 128), f32),
+                jax.ShapeDtypeStruct((B, T, S), cdtype),
+                jax.ShapeDtypeStruct((B, T, Q), cdtype),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 2 ** 20),
+            interpret=interpret,
+        )(w1, w2, b2, enc2, skip, labels)
+
+    def bwd_call(w1t, w2t, scale, skip, a1, probs, labels):
+        return pl.pallas_call(
+            bwd_body,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),            # w1t
+                pl.BlockSpec(memory_space=pltpu.VMEM),            # w2t
+                pl.BlockSpec(memory_space=pltpu.SMEM),            # scale
+                pl.BlockSpec((B, Tt, S), lambda i: (0, i, 0)),    # skip
+                pl.BlockSpec((B, Tt, S), lambda i: (0, i, 0)),    # a1
+                pl.BlockSpec((B, Tt, Q), lambda i: (0, i, 0)),    # probs
+                pl.BlockSpec((B, Tt), lambda i: (0, i)),          # labels
+            ],
+            out_specs=(
+                pl.BlockSpec((B, Tt, S), lambda i: (0, i, 0)),    # dskip
+                pl.BlockSpec((Ft, B, S), lambda i: (i, 0, 0)),    # dlc2
+                pl.BlockSpec((S, S), lambda i: (0, 0)),           # dw1
+                pl.BlockSpec((S, Q), lambda i: (0, 0)),           # dw2
+                pl.BlockSpec((1, Q), lambda i: (0, 0)),           # db2
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, T, S), cdtype),
+                jax.ShapeDtypeStruct((F, B, S), f32),
+                jax.ShapeDtypeStruct((S, S), f32),
+                jax.ShapeDtypeStruct((S, Q), f32),
+                jax.ShapeDtypeStruct((1, Q), f32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 2 ** 20),
+            interpret=interpret,
+        )(w1t, w2t, scale, skip, a1, probs, labels)
+
+    return fwd_call, bwd_call
+
+
+def fused_epilogue(pp1, pp2, skip, local_condition, global_condition,
+                   labels, *, interpret: bool = False):
+    """Mean sparse-softmax CE of the postprocess heads over ``skip``.
+
+    Args:
+      pp1/pp2: postprocess param dicts (kernel [1,S,S]/[1,S,Q], bias,
+        optional lc_kernel / gc_kernel / gc_bias) in the compute dtype.
+      skip: [B, T, S] f32 — the residual stack's skip sum (pre-relu).
+      local_condition: [B, F, C]; global_condition: [B, 1, C] or None.
+      labels: [B, T] int32 mu-law bins.
+    Returns the scalar mean NLL, differentiable w.r.t. pp1/pp2/skip/
+    local_condition (exactly wavenet_loss(heads(skip)) semantics).
+    """
+    B, T, S = skip.shape
+    Q = pp2["kernel"].shape[2]
+    F = local_condition.shape[1]
+    FR = T // F
+    cdtype = pp1["kernel"].dtype
+    cdtype_name = "bf16" if cdtype == jnp.bfloat16 else "f32"
+
+    # condition + bias fold (add_condition semantics, wavenet_ops.py:
+    # 93-101): position-constant within a frame, so it collapses to one
+    # [F, B, S] f32 buffer; gc (T_gc == 1) folds the same way.  OUTSIDE
+    # the custom VJP, so lc_kernel/gc grads come from autodiff against
+    # the kernel's dlc2 cotangent.
+    # operands cast to f32: bit-identical products (bf16 is exact in
+    # f32) and XLA:CPU's eager thunk has no bf16xbf16=f32 dot
+    enc2 = jnp.einsum("bfc,cs->fbs",
+                      local_condition.astype(jnp.float32),
+                      pp1["lc_kernel"].astype(jnp.float32),
+                      preferred_element_type=jnp.float32) \
+        + pp1["bias"].astype(jnp.float32)[None, None, :]
+    if global_condition is not None and "gc_kernel" in pp1:
+        g = jnp.einsum("bc,cs->bs",
+                       global_condition[:, 0, :].astype(jnp.float32),
+                       pp1["gc_kernel"].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        enc2 = enc2 + g[None, :, :]
+        if "gc_bias" in pp1:
+            enc2 = enc2 + pp1["gc_bias"].astype(jnp.float32)
+
+    fwd_call, bwd_call = _make_epilogue(S, Q, B, T, FR, cdtype_name,
+                                        interpret)
+
+    @jax.custom_vjp
+    def ce(w1, w2, b2, enc2, skip, labels):
+        nll, _, _ = fwd_call(w1, w2, b2, enc2, skip, labels)
+        return jnp.sum(nll) / (B * T)
+
+    def ce_fwd(w1, w2, b2, enc2, skip, labels):
+        nll, a1, probs = fwd_call(w1, w2, b2, enc2, skip, labels)
+        return jnp.sum(nll) / (B * T), (w1, w2, skip, a1, probs, labels)
+
+    def ce_bwd(res, g):
+        w1, w2, skip, a1, probs, labels = res
+        scale = (g / (B * T)).astype(jnp.float32).reshape(1, 1)
+        dskip, dlc2, dw1, dw2, db2 = bwd_call(
+            w1.T, w2.T, scale, skip, a1, probs, labels)
+        return (dw1.astype(cdtype), dw2.astype(cdtype),
+                db2.astype(jnp.float32), dlc2, dskip.astype(jnp.float32),
+                None)
+
+    ce.defvjp(ce_fwd, ce_bwd)
+    w1 = pp1["kernel"][0].astype(cdtype)
+    w2 = pp2["kernel"][0].astype(cdtype)
+    b2 = pp2["bias"].astype(jnp.float32).reshape(1, Q)
+    nll = ce(w1, w2, b2, enc2, skip, labels)
+    return nll
