@@ -18,6 +18,8 @@ import argparse
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def wav_header(path):
     """(sample_rate, bits, audio_format) or None if not RIFF/WAVE."""
