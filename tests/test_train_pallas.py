@@ -676,3 +676,68 @@ def test_fused_epilogue_in_vqvae_forward(key):
         rel = nd / (np.linalg.norm(ref) + 1e-12)
         assert rel < 2e-2 or nd < 1e-3 * gn, \
             f"{path}: rel L2 {rel}, abs {nd} vs global {gn}"
+
+
+HW_EPILOGUE_PARITY_SCRIPT = r"""
+import jax
+if jax.default_backend() not in ("tpu", "axon") and not any(
+        d.platform == "tpu" for d in jax.devices()):
+    print("SKIP")
+    raise SystemExit(0)
+import dataclasses, sys, os
+import jax.numpy as jnp, numpy as np
+sys.path.insert(0, os.getcwd())
+from vqvae_wavenet_tpu.config import ModelConfig
+import vqvae_wavenet_tpu.ops.train_pallas as tp
+from vqvae_wavenet_tpu.models.vqvae import init_vqvae, vqvae_forward
+import optax
+mcfg = dataclasses.replace(ModelConfig(), train_dtype="bf16")
+params, state = init_vqvae(jax.random.PRNGKey(0), mcfg, num_speakers=109)
+B, T = 8, 6656
+x = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 1),
+                       minval=-0.9, maxval=0.9)
+y = jax.nn.one_hot(jnp.arange(B) % 109, 109)[:, None, :]
+def run(p):
+    return vqvae_forward(p, state, mcfg, x, y, train=True)[0]
+assert tp._EPILOGUE == "auto"
+l_on, g_on = jax.jit(jax.value_and_grad(run))(params)
+tp._EPILOGUE = "off"
+l_off, g_off = jax.jit(jax.value_and_grad(run))(params)
+tp._EPILOGUE = "auto"
+assert abs(float(l_on) - float(l_off)) < 5e-4, (float(l_on), float(l_off))
+gn = float(optax.global_norm(g_off))
+flat_on = dict(jax.tree_util.tree_leaves_with_path(g_on))
+for path, ref in jax.tree_util.tree_leaves_with_path(g_off):
+    got = np.asarray(flat_on[path], np.float64)
+    ref = np.asarray(ref, np.float64)
+    nd = np.linalg.norm(got - ref)
+    rel = nd / (np.linalg.norm(ref) + 1e-12)
+    # bf16-saved-probs rounding seeds dskip; cancellation-dominated
+    # bias-into-norm leaves (norms ~1% of global) amplify it — gate on
+    # the GLOBAL scale (measured worst: 7e-2 rel on a leaf at 1.5% of
+    # global norm; loss parity is 1e-5 relative)
+    assert rel < 1e-1 or nd < 2e-3 * gn, (str(path), rel, nd, gn)
+print("OK")
+"""
+
+
+@pytest.mark.slow
+def test_hw_fused_epilogue_parity_compiled():
+    """COMPILED (Mosaic) parity of the fused postprocess+CE epilogue on
+    real TPU at the SHIPPED config — the interpret tests validate
+    semantics; this validates the compiled layout choices (int32 one-hot
+    compare, scalar CE reductions, lane0 accumulator).  Skips without a
+    TPU."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run(
+        [sys.executable, "-c", HW_EPILOGUE_PARITY_SCRIPT],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=900)
+    if "SKIP" in out.stdout:
+        pytest.skip("no TPU backend available")
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "OK" in out.stdout, out.stdout
